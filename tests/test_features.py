@@ -1,0 +1,92 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bundleadjustment_tpu.ops.features import (
+    FeatureConfig,
+    detect_and_describe,
+    fast_corners,
+    harris_response,
+)
+from bundleadjustment_tpu.ops.matching import match_descriptors
+
+
+def checkerboard(h=120, w=160, sq=16):
+    ys, xs = np.mgrid[0:h, 0:w]
+    return (((ys // sq) + (xs // sq)) % 2).astype(np.float32)
+
+
+def textured_image(rng, h=120, w=160):
+    """Smooth random texture with strong corners."""
+    img = rng.random((h // 8, w // 8)).astype(np.float32)
+    img = np.kron(img, np.ones((8, 8), np.float32))
+    return img
+
+
+def test_fast_detects_isolated_square_corners():
+    # isolated bright squares on black -> L-corners, the canonical FAST case
+    # (checkerboard X-junctions are NOT FAST corners: arcs alternate 4-4-4-4)
+    img = np.zeros((96, 96), np.float32)
+    for y0, x0 in [(16, 16), (16, 60), (60, 16), (60, 60)]:
+        img[y0 : y0 + 20, x0 : x0 + 20] = 1.0
+    mask = np.asarray(fast_corners(jnp.asarray(img), 0.2))
+    assert mask.sum() >= 8  # corners (and near-corner ring pixels) fire
+    # uniform region has no corners
+    flat = np.asarray(fast_corners(jnp.full((64, 64), 0.5, jnp.float32), 0.2))
+    assert flat.sum() == 0
+
+
+def test_harris_peaks_at_corners():
+    img = checkerboard()
+    h, shi = harris_response(jnp.asarray(img))
+    h = np.asarray(h)
+    # interior corner point (16,16) should beat an edge midpoint (16, 8)
+    assert h[16, 16] > h[16, 8]
+    assert np.asarray(shi).max() > 0
+
+
+def test_detect_and_describe_shapes(rng):
+    img = textured_image(rng)
+    cfg = FeatureConfig(n_features=300, n_levels=4)
+    feats = detect_and_describe(jnp.asarray(img), cfg)
+    m = feats.xy.shape[0]
+    assert m >= 300
+    assert feats.desc.shape == (m, 8)
+    assert feats.desc.dtype == jnp.uint32
+    v = np.asarray(feats.valid)
+    assert v.sum() > 50
+    xy = np.asarray(feats.xy)[v]
+    assert (xy[:, 0] >= 0).all() and (xy[:, 0] < 160).all()
+    assert (xy[:, 1] >= 0).all() and (xy[:, 1] < 120).all()
+
+
+def test_descriptors_match_under_translation(rng):
+    """Features of a translated image match back to the original."""
+    base = textured_image(rng, 160, 200)
+    dx, dy = 6, 4
+    shifted = np.roll(base, (dy, dx), axis=(0, 1))
+    cfg = FeatureConfig(n_features=400, n_levels=3)
+    fa = detect_and_describe(jnp.asarray(base), cfg)
+    fb = detect_and_describe(jnp.asarray(shifted), cfg)
+    idx, dist = match_descriptors(
+        fa.desc, fb.desc, valid_a=fa.valid, valid_b=fb.valid,
+        metric="hamming", ratio=0.8, max_dist=64.0,
+    )
+    idx = np.asarray(idx)
+    matched = np.nonzero(idx >= 0)[0]
+    assert len(matched) > 30
+    # matched keypoints should be displaced by ~(dx, dy)
+    xa = np.asarray(fa.xy)[matched]
+    xb = np.asarray(fb.xy)[idx[matched]]
+    disp = xb - xa
+    med = np.median(disp, axis=0)
+    np.testing.assert_allclose(med, [dx, dy], atol=1.5)
+
+
+def test_detect_batch_jit_consistency(rng):
+    img = textured_image(rng)
+    cfg = FeatureConfig(n_features=200, n_levels=3)
+    f1 = detect_and_describe(jnp.asarray(img), cfg)
+    f2 = detect_and_describe(jnp.asarray(img), cfg)
+    np.testing.assert_array_equal(np.asarray(f1.xy), np.asarray(f2.xy))
+    np.testing.assert_array_equal(np.asarray(f1.desc), np.asarray(f2.desc))
