@@ -14,6 +14,117 @@ from dataclasses import dataclass
 import numpy as np
 
 
+def render_plane_sequence(
+    n_frames=8,
+    width=160,
+    height=120,
+    fx=150.0,
+    fy=150.0,
+    plane_z=4.0,
+    tex_size=1024,
+    motion_step=0.08,
+    seed=0,
+):
+    """Render a camera track over a textured plane at z = plane_z (world).
+
+    Returns (frames, K4) where each frame is a dict with 'gray' [H,W] float32,
+    'depth' [H,W] float32 (meters), 'gt_cam_to_world' [4,4], 'timestamp'.
+    Cheap ray-plane rendering — enough texture structure for FAST/BRIEF to
+    latch onto, with exact ground-truth depth + poses for end-to-end tests.
+    """
+    rng = np.random.default_rng(seed)
+    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
+    K4 = np.array([fx, fy, cx, cy], np.float32)
+
+    # multi-scale random texture (sum of upsampled noise octaves)
+    tex = np.zeros((tex_size, tex_size), np.float32)
+    for cell in (8, 16, 32, 64):
+        small = rng.random((tex_size // cell, tex_size // cell)).astype(np.float32)
+        tex += np.kron(small, np.ones((cell, cell), np.float32))
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+
+    # texture maps world plane region x in [-span, span], y in [-span*0.75, ...]
+    span = 6.0
+
+    us, vs = np.meshgrid(np.arange(width), np.arange(height))
+    d_cam = np.stack([(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float32)], -1)
+
+    frames = []
+    for i in range(n_frames):
+        rvec = np.array([0.004 * i, 0.01 * i, 0.002 * i])
+        center = np.array([motion_step * i, 0.02 * np.sin(i), 0.01 * i])
+        R = _aa_to_R(rvec)  # cam->world rotation
+        C = np.eye(4)
+        C[:3, :3] = R
+        C[:3, 3] = center
+
+        dir_w = d_cam @ R.T  # [H,W,3]
+        s = (plane_z - center[2]) / np.maximum(dir_w[..., 2], 1e-9)
+        pw = center[None, None, :] + s[..., None] * dir_w
+        depth = s.astype(np.float32)  # z-depth in camera frame (d_cam z == 1)
+
+        tx = (pw[..., 0] + span) / (2 * span) * (tex_size - 1)
+        ty = (pw[..., 1] + span * 0.75) / (1.5 * span) * (tex_size - 1)
+        x0 = np.clip(tx.astype(int), 0, tex_size - 2)
+        y0 = np.clip(ty.astype(int), 0, tex_size - 2)
+        fx_ = np.clip(tx - x0, 0, 1)
+        fy_ = np.clip(ty - y0, 0, 1)
+        img = (
+            tex[y0, x0] * (1 - fx_) * (1 - fy_)
+            + tex[y0, x0 + 1] * fx_ * (1 - fy_)
+            + tex[y0 + 1, x0] * (1 - fx_) * fy_
+            + tex[y0 + 1, x0 + 1] * fx_ * fy_
+        ).astype(np.float32)
+
+        frames.append(
+            {
+                "gray": img,
+                "depth": depth,
+                "gt_cam_to_world": C,
+                "timestamp": i / 30.0,
+            }
+        )
+    return frames, K4
+
+
+def write_tum_format(root, frames, depth_scale=5000.0):
+    """Write rendered frames as an on-disk TUM RGB-D dataset (for loader and
+    CLI end-to-end tests)."""
+    import os
+
+    from PIL import Image
+
+    from bundleadjustment_tpu.data.tum import rotmat_to_quat
+
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    rgb_lines, depth_lines, gt_lines = [], [], []
+    for f in frames:
+        ts = f["timestamp"]
+        name = f"{ts:.6f}.png"
+        rgb8 = (np.clip(f["gray"], 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(np.stack([rgb8] * 3, -1)).save(os.path.join(root, "rgb", name))
+        d = f["depth"].copy()
+        d[~np.isfinite(d)] = 0
+        d16 = np.clip(d * depth_scale, 0, 65535).astype(np.uint16)
+        Image.fromarray(d16).save(os.path.join(root, "depth", name))
+        rgb_lines.append(f"{ts:.6f} rgb/{name}")
+        depth_lines.append(f"{ts:.6f} depth/{name}")
+        M = f["gt_cam_to_world"]
+        qx, qy, qz, qw = rotmat_to_quat(M[:3, :3])
+        t = M[:3, 3]
+        gt_lines.append(
+            f"{ts:.6f} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} {qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}"
+        )
+    for fname, lines in [
+        ("rgb.txt", rgb_lines),
+        ("depth.txt", depth_lines),
+        ("groundtruth.txt", gt_lines),
+    ]:
+        with open(os.path.join(root, fname), "w") as fh:
+            fh.write("# synthetic\n" + "\n".join(lines) + "\n")
+
+
 def _aa_to_R(r):
     theta = np.linalg.norm(r)
     if theta < 1e-12:
