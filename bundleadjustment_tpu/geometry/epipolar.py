@@ -392,7 +392,7 @@ def decompose_homography(H, uv1, uv2, valid, K4):
     counts, Xs, goods, tns = jax.vmap(score)(Rs, ts, ns)
     best = jnp.argmax(counts)
     rt = jnp.concatenate([rotmat_to_aa(Rs[best]), tns[best]])
-    return rt, counts[best], Xs[best], goods[best]
+    return rt, jnp.sum(goods[best]), Xs[best], goods[best]
 
 
 # ---------------------------------------------------------------------------

@@ -258,10 +258,29 @@ def _detect_level(img, n_keep, cfg: FeatureConfig):
     xs = idx % W
     valid = jnp.isfinite(vals) & (vals > 0)
 
+    # sub-pixel refinement: 1D quadratic fit on the raw response surface
+    # (the cv::cornerSubPix analogue, reference FeatureProcessor.cpp:203;
+    # integer keypoints would alias a global sub-pixel image shift into a
+    # systematic per-frame pose bias)
+    resp = harris if cfg.detector != "shi_tomasi" else shi
+    ym = jnp.clip(ys - 1, 0, H - 1)
+    yp = jnp.clip(ys + 1, 0, H - 1)
+    xm = jnp.clip(xs - 1, 0, W - 1)
+    xp = jnp.clip(xs + 1, 0, W - 1)
+    c = resp[ys, xs]
+    dxn = resp[ys, xp] - resp[ys, xm]
+    dxd = 2.0 * (2.0 * c - resp[ys, xp] - resp[ys, xm])
+    dyn = resp[yp, xs] - resp[ym, xs]
+    dyd = 2.0 * (2.0 * c - resp[yp, xs] - resp[ym, xs])
+    off_x = jnp.clip(dxn / jnp.where(jnp.abs(dxd) < 1e-12, 1e-12, dxd), -0.5, 0.5)
+    off_y = jnp.clip(dyn / jnp.where(jnp.abs(dyd) < 1e-12, 1e-12, dyd), -0.5, 0.5)
+    xs_f = xs.astype(jnp.float32) + off_x
+    ys_f = ys.astype(jnp.float32) + off_y
+
     blur = gaussian_blur(img)
     angles = orientation_angles(blur, ys, xs)
     desc = brief_descriptors(blur, ys, xs, angles)
-    return ys, xs, vals, angles, desc, valid
+    return ys_f, xs_f, vals, angles, desc, valid
 
 
 def _level_allocations(cfg: FeatureConfig):
@@ -292,7 +311,7 @@ def detect_and_describe(image, cfg: FeatureConfig = FeatureConfig()):
             w_l = max(int(round(W / scale)), 2 * cfg.border + 8)
             img_l = jax.image.resize(image, (h_l, w_l), "linear")
         ys, xs, resp, ang, desc, valid = _detect_level(img_l, allocs[lvl], cfg)
-        xy0 = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1) * scale
+        xy0 = jnp.stack([xs, ys], -1) * scale
         octave = jnp.full(allocs[lvl], lvl, jnp.int32)
         sigma2 = jnp.full(allocs[lvl], scale * scale, jnp.float32)
         outs.append((xy0, resp, octave, ang, sigma2, desc, valid))

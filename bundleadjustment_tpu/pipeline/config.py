@@ -1,0 +1,82 @@
+"""Pipeline configuration, mirroring the reference CLI surface.
+
+Reference flags (`ba_project/src/main.cpp:27-44`): --init-type --estimation
+--faces-type --dataset-name --dataset-path --output-path --local-ba --frames
+--reconstruction-error --trajectory --display-pointcloud --cull-frames, with
+defaults at `main.cpp:48-64`.  Framework-specific knobs (feature counts,
+thresholds, solver iteration budgets) are explicit here instead of constants
+scattered through C++.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PipelineConfig:
+    # reference CLI surface
+    init_type: str = "gtdepth"  # "standard" | "gtdepth"   (main.cpp:15-16)
+    estimation: str = "ba"  # "pnp" | "ba" | "essential_or_homography" (main.cpp:18-20)
+    faces_type: str = "standard"  # "standard" | "poisson" | "greedy" (main.cpp:22-24)
+    dataset_name: str = "freiburg_xyz"  # freiburg_xyz | freiburg_teddy | replica
+    dataset_path: str = ""
+    output_path: str = "./out"
+    local_ba: bool = True
+    max_frames: int = 2000  # --frames (main.cpp default 2000)
+    reconstruction_error: bool = False
+    write_trajectory: bool = True
+    display_pointcloud: bool = False
+    cull_frames: bool = False
+
+    # feature frontend
+    n_features: int = 1000
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    detector: str = "fast_harris"
+    match_ratio: float = 0.7  # Lowe ratio (FeatureProcessor.cpp:53)
+    min_init_matches: int = 100  # BundleAdjustment.cpp:96-109
+
+    # association / search thresholds (Hamming, of 256 bits; the reference's
+    # SURF-L2 0.2/0.3 analogues, BundleAdjustment.cpp:129-146 / SfMHelper.cpp)
+    assoc_max_dist: float = 50.0
+    search_max_dist: float = 64.0
+
+    # tracking / keyframes
+    keyframe_ratio: float = 0.1  # BundleAdjustment.cpp:161
+    tracking_fail_ratio: float = 1e-4  # BundleAdjustment.cpp:157-160
+    min_track_points: int = 10
+    max_track_obs: int = 512  # padded 2D-3D capacity for motion-only BA
+    pnp_translation_guard: float = 1.0  # ||t|| jump reject (SfMHelper.cpp:76-80)
+
+    # covisibility / windows
+    covis_threshold: int = 10  # Frame.cpp:327
+    local_window: int = 10  # Optimizer.cpp:508
+    neighbor_search_n1: int = 20  # SfMHelper.cpp:203-496 first ring
+    neighbor_search_n2: int = 5  # second ring
+
+    # solver budgets (reference: per-KF BA 1x10, final 3x100,
+    # BundleAdjustment.cpp:196-207,228-230; motion-only 4x20 SfMHelper.cpp:112)
+    kf_ba_iters: int = 10
+    final_ba_outer: int = 3
+    final_ba_iters: int = 30
+    motion_outer: int = 4
+    motion_inner: int = 10
+    ba_solver: str = "dense"  # "dense" | "pcg"; pcg for big maps
+    pcg_iters: int = 60
+
+    # culling
+    cull_point_window: int = 4  # SfMHelper.cpp:974-1003
+    cull_point_min_obs: int = 3
+    cull_kf_redundancy: float = 0.95  # SfMHelper.cpp:1005-1077
+    cull_kf_min_other: int = 3
+
+    # capacities
+    max_map_frames: int = 2048
+    max_map_points: int = 262144
+
+    # misc
+    seed: int = 0
+    verbose: bool = False
+
+    extra: dict = field(default_factory=dict)

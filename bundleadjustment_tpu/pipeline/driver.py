@@ -1,0 +1,687 @@
+"""Tracking / mapping pipeline driver.
+
+The TPU-native re-design of the reference's `BundleAdjustment::run()` loop
+(`ba_project/src/ba/BundleAdjustment.cpp:6-282`, call stack in SURVEY.md
+§3.1): per-frame feature detection -> matching -> map association ->
+constant-velocity prediction -> pose estimation -> keyframe decision ->
+triangulation -> covisibility search/fusion -> local/global BA -> culling ->
+final global BA -> trajectory + point-cloud outputs.
+
+Division of labor:
+- *device (JAX, jitted once per shape bucket)*: detection, descriptor
+  matching, motion-only BA, two-view RANSAC, gated triangulation, and the
+  LM/Schur bundle adjustment;
+- *native C++ (mapstore)*: the branchy observation-graph mutation
+  (insert / fuse / cull / covisibility);
+- *Python*: thin orchestration, no per-observation loops on the hot path
+  beyond graph writes.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bundleadjustment_tpu.geometry import np_se3
+from bundleadjustment_tpu.geometry.epipolar import recover_pose_two_view
+from bundleadjustment_tpu.geometry.triangulation import triangulate_gated
+from bundleadjustment_tpu.mapstate import SceneMap
+from bundleadjustment_tpu.ops.features import FeatureConfig, detect_and_describe
+from bundleadjustment_tpu.ops.matching import match_descriptors_jit
+from bundleadjustment_tpu.pipeline.config import PipelineConfig
+from bundleadjustment_tpu.solvers import BAProblem, LMConfig, ba_solve
+from bundleadjustment_tpu.solvers.lm import MotionOnlyConfig, motion_only_ba
+from bundleadjustment_tpu.solvers.residuals import prune_outliers, cams_to_Rt
+
+
+def sample_depth_bilinear(depth, uv):
+    """Sub-pixel depth lookup; invalid (-inf / out of range) -> nan.
+
+    Mirrors cv::getRectSubPix usage (reference Initializer.cpp:52,
+    MapPoint.cpp:331): a sample is valid only if all 4 neighbors are valid.
+    """
+    h, w = depth.shape
+    x = np.clip(uv[:, 0], 0, w - 1.001)
+    y = np.clip(uv[:, 1], 0, h - 1.001)
+    x0 = x.astype(int)
+    y0 = y.astype(int)
+    fx = x - x0
+    fy = y - y0
+    d00 = depth[y0, x0]
+    d01 = depth[y0, x0 + 1]
+    d10 = depth[y0 + 1, x0]
+    d11 = depth[y0 + 1, x0 + 1]
+    val = (
+        d00 * (1 - fx) * (1 - fy)
+        + d01 * fx * (1 - fy)
+        + d10 * (1 - fx) * fy
+        + d11 * fx * fy
+    )
+    ok = np.isfinite(d00) & np.isfinite(d01) & np.isfinite(d10) & np.isfinite(d11)
+    out = np.where(ok & (val > 0), val, np.nan)
+    return out
+
+
+@dataclass
+class FrameFeatures:
+    xy: np.ndarray
+    octave: np.ndarray
+    sigma2: np.ndarray
+    desc: np.ndarray
+    valid: np.ndarray
+
+
+@dataclass
+class TrackRecord:
+    timestamp: float
+    slot: int
+    extr: np.ndarray  # world->camera rt6 at tracking time
+    is_keyframe: bool
+
+
+class BundleAdjustmentPipeline:
+    def __init__(self, config: PipelineConfig, K4, width, height):
+        self.cfg = config
+        self.K4 = np.asarray(K4, np.float32)
+        self.width = width
+        self.height = height
+        self.map = SceneMap(
+            max_frames=config.max_map_frames,
+            max_points=config.max_map_points,
+            max_kp=_feat_capacity(config),
+            K4=self.K4,
+        )
+        self.feat_cfg = FeatureConfig(
+            n_features=config.n_features,
+            n_levels=config.n_levels,
+            scale_factor=config.scale_factor,
+            detector=config.detector,
+        )
+        self._key = jax.random.PRNGKey(config.seed)
+
+        self.initialized = False
+        self.ref_slot = None  # pre-init reference frame
+        self.ref_feats: FrameFeatures | None = None
+        self.last_slot = None
+        self.last_feats: FrameFeatures | None = None
+        self.prev_extr = None  # for constant-velocity model
+        self.last_extr = None
+        self.kf_counter = 0
+        self.trajectory: list[TrackRecord] = []
+        self.stats = {"frames": 0, "keyframes": 0, "tracking_failures": 0}
+
+    # ------------------------------------------------------------------
+    # device helpers
+    # ------------------------------------------------------------------
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def detect(self, gray) -> FrameFeatures:
+        f = detect_and_describe(jnp.asarray(gray), self.feat_cfg)
+        return FrameFeatures(
+            xy=np.asarray(f.xy),
+            octave=np.asarray(f.octave),
+            sigma2=np.asarray(f.sigma2),
+            desc=np.asarray(f.desc),
+            valid=np.asarray(f.valid),
+        )
+
+    def match(self, fa: FrameFeatures, fb: FrameFeatures, max_dist=None):
+        """knn2+ratio+uniqueness match a->b.  Returns (idx [Ma], dist [Ma])."""
+        idx, dist = match_descriptors_jit(
+            jnp.asarray(fa.desc),
+            jnp.asarray(fb.desc),
+            valid_a=jnp.asarray(fa.valid),
+            valid_b=jnp.asarray(fb.valid),
+            metric="hamming",
+            ratio=self.cfg.match_ratio,
+            max_dist=max_dist,
+        )
+        return np.asarray(idx), np.asarray(dist)
+
+    # ------------------------------------------------------------------
+    # bundle adjustment wrappers
+    # ------------------------------------------------------------------
+
+    def _solve_ba(self, snap, max_iters, solver=None):
+        prob = BAProblem(
+            K4=jnp.asarray(snap.K4),
+            cam_idx=jnp.asarray(snap.cam_idx),
+            pt_idx=jnp.asarray(snap.pt_idx),
+            uv=jnp.asarray(snap.uv),
+            sigma2=jnp.asarray(snap.sigma2),
+            valid=jnp.asarray(snap.valid),
+            cam_fixed=jnp.asarray(snap.cam_fixed),
+            pt_fixed=jnp.zeros(snap.points.shape[0], bool),
+        )
+        cfg = LMConfig(
+            max_iters=max_iters,
+            solver=solver or self.cfg.ba_solver,
+            pcg_iters=self.cfg.pcg_iters,
+        )
+        cams, pts, info = ba_solve(prob, jnp.asarray(snap.extr), jnp.asarray(snap.points), cfg)
+        # post-solve chi2 pruning (reference Optimizer.cpp:270-277)
+        R, t = cams_to_Rt(cams)
+        new_valid = prune_outliers(prob, R, t, pts)
+        self.map.writeback(snap, np.asarray(cams), np.asarray(pts), np.asarray(new_valid))
+        return info
+
+    def global_ba(self, max_iters=None):
+        kfs = self.map.active_keyframes().tolist()
+        if len(kfs) < 2:
+            return None
+        snap = self.map.snapshot_problem(kfs, min_obs=2)
+        return self._solve_ba(snap, max_iters or self.cfg.kf_ba_iters)
+
+    def local_ba(self, center_kf, max_iters=None):
+        """Window = center + best covisible; observers of window points enter
+        as fixed cameras (reference Optimizer.cpp:500-546)."""
+        nbrs, _ = self.map.best_covisible(center_kf, self.cfg.local_window)
+        window = [center_kf] + [int(k) for k in nbrs]
+        # fixed observers: keyframes observing window points but outside window
+        window_set = set(window)
+        pts = set()
+        for kf in window:
+            for pt in self.map.kp_pt[kf, : self.map.kf_nkp[kf]]:
+                if pt >= 0:
+                    pts.add(int(pt))
+        fixed_extra = set()
+        for pt in pts:
+            kfs, _ = self.map.point_observations(pt)
+            for k in kfs:
+                if int(k) not in window_set and self.map.kf_is_keyframe[int(k)]:
+                    fixed_extra.add(int(k))
+        fixed_mask = np.zeros(len(window), bool)
+        # gauge: fix the earliest keyframe in the window (reference pins
+        # frame 0 when present; otherwise fixed observers anchor the gauge)
+        if not fixed_extra:
+            fixed_mask[int(np.argmin(window))] = True
+        snap = self.map.snapshot_problem(
+            window, fixed_mask=fixed_mask, min_obs=2,
+            extra_fixed_slots=sorted(fixed_extra),
+        )
+        return self._solve_ba(snap, max_iters or self.cfg.kf_ba_iters)
+
+    def motion_only(self, extr0, pts3d, uv, sigma2, robust=True):
+        """Single-frame motion-only BA with padding to max_track_obs."""
+        M = self.cfg.max_track_obs
+        n = min(len(pts3d), M)
+        P = np.zeros((1, M, 3), np.float32)
+        U = np.zeros((1, M, 2), np.float32)
+        S = np.ones((1, M), np.float32)
+        V = np.zeros((1, M), bool)
+        P[0, :n] = pts3d[:n]
+        U[0, :n] = uv[:n]
+        S[0, :n] = sigma2[:n]
+        V[0, :n] = True
+        cfg = MotionOnlyConfig(
+            outer_iters=self.cfg.motion_outer,
+            inner_iters=self.cfg.motion_inner,
+            robust=robust,
+        )
+        rt, inl = motion_only_ba(
+            jnp.asarray(self.K4),
+            jnp.asarray(extr0[None].astype(np.float32)),
+            jnp.asarray(P),
+            jnp.asarray(U),
+            jnp.asarray(S),
+            jnp.asarray(V),
+            cfg,
+        )
+        return np.asarray(rt)[0].astype(np.float64), np.asarray(inl)[0, :n]
+
+    # ------------------------------------------------------------------
+    # initialization  (reference Initializer.cpp; SURVEY §3.3)
+    # ------------------------------------------------------------------
+
+    def _init_gtdepth(self, cur_slot, cur_feats, ref_depth, matches, dists):
+        """Bootstrap from the reference frame's (GT) depth map
+        (reference Initializer.cpp:36-126)."""
+        m = self.map
+        ref = self.ref_slot
+        rf = self.ref_feats
+        depths = sample_depth_bilinear(ref_depth, rf.xy)
+        ref_extr = m.kf_pose[ref]  # identity (world = ref camera frame)
+        pose_ref = np_se3.rt6_inverse(ref_extr)
+        K = self.K4
+        kp_point = np.full(len(rf.xy), -1, np.int64)
+        for kp in range(len(rf.xy)):
+            if not rf.valid[kp] or not np.isfinite(depths[kp]):
+                continue
+            d = depths[kp]
+            xc = np.array(
+                [
+                    (rf.xy[kp, 0] - K[2]) / K[0] * d,
+                    (rf.xy[kp, 1] - K[3]) / K[1] * d,
+                    d,
+                ]
+            )
+            xw = np_se3.rt6_apply(pose_ref, xc)
+            pt = m.add_point(xw, desc=rf.desc[kp], first_kf=self.kf_counter)
+            m.add_observation(pt, ref, kp)
+            kp_point[kp] = pt
+
+        # associate matches to the new points and track the current frame
+        assoc_pts, assoc_uv, assoc_sig, assoc_kp, assoc_pt = [], [], [], [], []
+        for kp_ref, kp_cur in enumerate(matches):
+            if kp_cur < 0 or kp_point[kp_ref] < 0:
+                continue
+            pt = kp_point[kp_ref]
+            assoc_pts.append(m.pt_pos[pt])
+            assoc_uv.append(cur_feats.xy[kp_cur])
+            assoc_sig.append(cur_feats.sigma2[kp_cur])
+            assoc_kp.append(kp_cur)
+            assoc_pt.append(pt)
+        if len(assoc_pts) < self.cfg.min_track_points:
+            return False
+
+        extr, inl = self.motion_only(
+            ref_extr.copy(), np.asarray(assoc_pts), np.asarray(assoc_uv),
+            np.asarray(assoc_sig),
+        )
+        m.set_pose(cur_slot, extr)
+        for i, ok in enumerate(inl):
+            if ok:
+                m.add_observation(int(assoc_pt[i]), cur_slot, int(assoc_kp[i]))
+
+        # triangulate matches whose ref keypoint had no depth
+        # (reference Initializer.cpp:119)
+        self._triangulate_pairs(ref, cur_slot, rf, cur_feats, matches,
+                                exclude_with_points=True)
+
+        m.set_keyframe(ref)
+        m.set_keyframe(cur_slot)
+        self.kf_counter += 2
+        m.update_covisibility(cur_slot, self.cfg.covis_threshold)
+        m.update_covisibility(ref, self.cfg.covis_threshold)
+        return True
+
+    def _init_standard(self, cur_slot, cur_feats, matches, dists):
+        """Two-view E/H bootstrap (reference Initializer.cpp:128-186)."""
+        m = self.map
+        ref = self.ref_slot
+        rf = self.ref_feats
+        pair_ref = np.nonzero(matches >= 0)[0]
+        pair_cur = matches[pair_ref]
+        uv1 = rf.xy[pair_ref]
+        uv2 = cur_feats.xy[pair_cur]
+        n = len(pair_ref)
+        if n < self.cfg.min_init_matches:
+            return False
+        res = recover_pose_two_view(
+            self._next_key(),
+            jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(n, bool),
+            jnp.asarray(self.K4), n_hyp=256,
+        )
+        if int(res.n_inliers) < max(50, int(0.3 * n)):
+            return False
+        rel = np.asarray(res.rt6, np.float64)
+        m.set_pose(cur_slot, rel)  # ref is identity; extr_cur = rel
+
+        # triangulate inlier matches (no baseline check: Initializer.cpp:174)
+        inliers = np.asarray(res.inliers)
+        sel = inliers
+        pts, ok = triangulate_gated(
+            jnp.asarray(self.K4),
+            jnp.asarray(m.kf_pose[ref].astype(np.float32)),
+            jnp.asarray(rel.astype(np.float32)),
+            jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(rf.sigma2[pair_ref]),
+            jnp.asarray(cur_feats.sigma2[pair_cur]),
+            jnp.asarray(sel),
+        )
+        pts = np.asarray(pts)
+        ok = np.asarray(ok)
+        n_created = 0
+        for i in np.nonzero(ok)[0]:
+            pt = m.add_point(pts[i], desc=cur_feats.desc[pair_cur[i]],
+                             first_kf=self.kf_counter)
+            m.add_observation(pt, ref, int(pair_ref[i]))
+            m.add_observation(pt, cur_slot, int(pair_cur[i]))
+            n_created += 1
+        if n_created < 50:
+            return False
+
+        m.set_keyframe(ref)
+        m.set_keyframe(cur_slot)
+        self.kf_counter += 2
+        m.update_covisibility(cur_slot, self.cfg.covis_threshold)
+        m.update_covisibility(ref, self.cfg.covis_threshold)
+        # full BA over the two views (Initializer.cpp:182-183); two rounds with
+        # chi2 pruning between them so a noisy H/E decomposition seed converges
+        self.global_ba(max(self.cfg.kf_ba_iters, 15))
+        self.global_ba(max(self.cfg.kf_ba_iters, 15))
+        return True
+
+    # ------------------------------------------------------------------
+    # triangulation of new landmarks at keyframes
+    # ------------------------------------------------------------------
+
+    def _triangulate_pairs(self, slot_a, slot_b, fa, fb, matches,
+                           exclude_with_points=True):
+        """Triangulate matched keypoint pairs that lack landmarks
+        (reference BundleAdjustment.cpp:166-185 -> SfMHelper.cpp:759-878)."""
+        m = self.map
+        pair_a = np.nonzero(matches >= 0)[0]
+        pair_b = matches[pair_a]
+        if exclude_with_points:
+            free = (m.kp_pt[slot_a, pair_a] < 0) & (m.kp_pt[slot_b, pair_b] < 0)
+            pair_a, pair_b = pair_a[free], pair_b[free]
+        if len(pair_a) == 0:
+            return 0
+        pts, ok = triangulate_gated(
+            jnp.asarray(self.K4),
+            jnp.asarray(m.kf_pose[slot_a].astype(np.float32)),
+            jnp.asarray(m.kf_pose[slot_b].astype(np.float32)),
+            jnp.asarray(fa.xy[pair_a]),
+            jnp.asarray(fb.xy[pair_b]),
+            jnp.asarray(fa.sigma2[pair_a]),
+            jnp.asarray(fb.sigma2[pair_b]),
+            jnp.ones(len(pair_a), bool),
+        )
+        pts = np.asarray(pts)
+        ok = np.asarray(ok)
+        n = 0
+        for i in np.nonzero(ok)[0]:
+            pt = m.add_point(pts[i], desc=fb.desc[pair_b[i]], first_kf=self.kf_counter)
+            if m.add_observation(pt, slot_a, int(pair_a[i])) != 1:
+                m.erase_point(pt)
+                continue
+            if m.add_observation(pt, slot_b, int(pair_b[i])) != 1:
+                m.erase_point(pt)
+                continue
+            n += 1
+        return n
+
+    # ------------------------------------------------------------------
+    # neighborhood search & fusion  (reference SfMHelper.cpp:203-496)
+    # ------------------------------------------------------------------
+
+    def search_in_neighbors(self, kf, feats: FrameFeatures):
+        """Re-match the new keyframe against its covisibility neighborhood:
+        transfer observations, fuse duplicate landmarks, triangulate new ones.
+
+        Neighborhood = 20 best covisible + 5 best of each of those
+        (SfMHelper.cpp:203-240).  Gates: descriptor distance (search_max_dist)
+        and the chi2 reprojection acceptance inside triangulate/transfer.
+        """
+        m = self.map
+        n1, _ = m.best_covisible(kf, self.cfg.neighbor_search_n1)
+        neighborhood = []
+        seen = {kf}
+        for nb in n1:
+            if int(nb) not in seen:
+                neighborhood.append(int(nb))
+                seen.add(int(nb))
+            n2, _ = m.best_covisible(int(nb), self.cfg.neighbor_search_n2)
+            for nb2 in n2:
+                if int(nb2) not in seen:
+                    neighborhood.append(int(nb2))
+                    seen.add(int(nb2))
+
+        n_fused = n_transfer = n_tri = 0
+        for nb in neighborhood:
+            nf = FrameFeatures(
+                xy=m.kp_xy[nb, : m.kf_nkp[nb]],
+                octave=m.kp_octave[nb, : m.kf_nkp[nb]],
+                sigma2=m.kp_sigma2[nb, : m.kf_nkp[nb]],
+                desc=m.kp_desc[nb, : m.kf_nkp[nb]],
+                valid=np.ones(m.kf_nkp[nb], bool),
+            )
+            idx, dist = self.match(feats, nf, max_dist=self.cfg.search_max_dist)
+            kp_cur = np.nonzero(idx >= 0)[0]
+            kp_nb = idx[kp_cur]
+            pt_cur = m.kp_pt[kf, kp_cur]
+            pt_nb = m.kp_pt[nb, kp_nb]
+            # fuse: both have distinct landmarks -> keep the better-observed
+            both = (pt_cur >= 0) & (pt_nb >= 0) & (pt_cur != pt_nb)
+            for i in np.nonzero(both)[0]:
+                a, b = int(pt_cur[i]), int(pt_nb[i])
+                if m.point_obs_count(a) >= m.point_obs_count(b):
+                    m.fuse_points(a, b)
+                else:
+                    m.fuse_points(b, a)
+                n_fused += 1
+            # transfer: neighbor has a landmark, current kp free
+            nb_only = (pt_cur < 0) & (pt_nb >= 0)
+            for i in np.nonzero(nb_only)[0]:
+                if m.add_observation(int(pt_nb[i]), kf, int(kp_cur[i])) == 1:
+                    n_transfer += 1
+            # transfer the other way
+            cur_only = (pt_cur >= 0) & (pt_nb < 0)
+            for i in np.nonzero(cur_only)[0]:
+                if m.add_observation(int(pt_cur[i]), nb, int(kp_nb[i])) == 1:
+                    n_transfer += 1
+            # triangulate brand-new pairs
+            none_have = (pt_cur < 0) & (pt_nb < 0)
+            if none_have.any():
+                matches_vec = np.full(len(feats.xy), -1, np.int64)
+                matches_vec[kp_cur[none_have]] = kp_nb[none_have]
+                n_tri += self._triangulate_pairs(kf, nb, feats, nf, matches_vec)
+        return {"fused": n_fused, "transferred": n_transfer, "triangulated": n_tri}
+
+    # ------------------------------------------------------------------
+    # per-frame tracking
+    # ------------------------------------------------------------------
+
+    def _predict_extr(self):
+        """Constant-velocity model (reference SfMHelper.cpp:894-972)."""
+        if self.prev_extr is None:
+            return self.last_extr.copy()
+        vel = np_se3.rt6_compose(self.last_extr, np_se3.rt6_inverse(self.prev_extr))
+        return np_se3.rt6_compose(vel, self.last_extr)
+
+    def _estimate_pose(self, cur_feats, assoc_pt, assoc_kp, pred_extr, matches):
+        """Dispatch on cfg.estimation (reference SfMHelper.cpp:124-153)."""
+        cfg = self.cfg
+        m = self.map
+        if cfg.estimation in ("ba", "pnp"):
+            if len(assoc_pt) < cfg.min_track_points:
+                return pred_extr, np.zeros(len(assoc_pt), bool)
+            pts3d = m.pt_pos[assoc_pt]
+            uv = cur_feats.xy[assoc_kp]
+            sig = cur_feats.sigma2[assoc_kp]
+            extr, inl = self.motion_only(
+                pred_extr, pts3d, uv, sig, robust=(cfg.estimation == "ba")
+            )
+            if cfg.estimation == "pnp":
+                # translation jump guard (SfMHelper.cpp:76-80)
+                if np.linalg.norm(extr[3:] - pred_extr[3:]) >= cfg.pnp_translation_guard:
+                    return pred_extr, np.zeros(len(assoc_pt), bool)
+            return extr, inl
+        elif cfg.estimation == "essential_or_homography":
+            lf = self.last_feats
+            pair_last = np.nonzero(matches >= 0)[0]
+            pair_cur = matches[pair_last]
+            n = len(pair_last)
+            if n < 30:
+                return pred_extr, np.zeros(len(assoc_pt), bool)
+            res = recover_pose_two_view(
+                self._next_key(),
+                jnp.asarray(lf.xy[pair_last]),
+                jnp.asarray(cur_feats.xy[pair_cur]),
+                jnp.ones(n, bool),
+                jnp.asarray(self.K4),
+                n_hyp=256,
+            )
+            rel = np.asarray(res.rt6, np.float64)
+            # scale the unit translation with the constant-velocity prior
+            # (monocular 2-view scale is unobservable)
+            pred_rel = np_se3.rt6_compose(pred_extr, np_se3.rt6_inverse(self.last_extr))
+            scale = np.linalg.norm(pred_rel[3:])
+            rel[3:] *= scale if scale > 1e-9 else 1.0
+            extr = np_se3.rt6_compose(rel, self.last_extr)
+            inl = np.ones(len(assoc_pt), bool)
+            return extr, inl
+        raise ValueError(f"unknown estimation {cfg.estimation!r}")
+
+    # ------------------------------------------------------------------
+    # main loop
+    # ------------------------------------------------------------------
+
+    def process_frame(self, frame):
+        """Process one FrameData.  Returns a status string."""
+        cfg = self.cfg
+        m = self.map
+        feats = self.detect(frame.gray)
+        slot = m.add_frame(
+            frame.timestamp,
+            np.zeros(6),
+            feats.xy,
+            feats.octave,
+            feats.sigma2,
+            feats.desc,
+            gt_pose44=frame.gt_cam_to_world,
+        )
+        self.stats["frames"] += 1
+
+        if not self.initialized:
+            if self.ref_slot is None:
+                self.ref_slot = slot
+                self.ref_feats = feats
+                self._ref_depth = frame.depth
+                return "ref"
+            matches, dists = self.match(self.ref_feats, feats)
+            n_matches = int((matches >= 0).sum())
+            if n_matches > cfg.min_init_matches:
+                if cfg.init_type == "gtdepth":
+                    ok = self._init_gtdepth(slot, feats, self._ref_depth, matches, dists)
+                else:
+                    ok = self._init_standard(slot, feats, matches, dists)
+                if ok:
+                    self.initialized = True
+                    self.last_slot = slot
+                    self.last_feats = feats
+                    self.last_extr = m.kf_pose[slot].copy()
+                    self.prev_extr = m.kf_pose[self.ref_slot].copy()
+                    self.trajectory.append(
+                        TrackRecord(m.kf_timestamp[self.ref_slot], self.ref_slot,
+                                    m.kf_pose[self.ref_slot].copy(), True)
+                    )
+                    self.trajectory.append(
+                        TrackRecord(frame.timestamp, slot, self.last_extr.copy(), True)
+                    )
+                    self.stats["keyframes"] += 2
+                    return "initialized"
+            # failed bootstrap: reset with current as reference
+            # (reference BundleAdjustment.cpp:104-109)
+            m.erase_frame(self.ref_slot)
+            self.ref_slot = slot
+            self.ref_feats = feats
+            self._ref_depth = frame.depth
+            return "ref-reset"
+
+        # ---- tracking path ----
+        lf = self.last_feats
+        matches, dists = self.match(lf, feats)
+        n_matches = max(int((matches >= 0).sum()), 1)
+
+        # associate current keypoints to landmarks through last-frame matches
+        # (reference BundleAdjustment.cpp:129-146, desc gate)
+        pair_last = np.nonzero(matches >= 0)[0]
+        pair_cur = matches[pair_last]
+        lp = m.kp_pt[self.last_slot, pair_last]
+        has_pt = (lp >= 0) & (dists[pair_last] < cfg.assoc_max_dist)
+        assoc_pt = lp[has_pt].astype(np.int64)
+        assoc_kp = pair_cur[has_pt].astype(np.int64)
+
+        # the keyframe/failure ratio is the *association* ratio, computed
+        # before pose estimation (reference BundleAdjustment.cpp:129-161)
+        assoc_ratio = int(has_pt.sum()) / n_matches
+        if assoc_ratio <= cfg.tracking_fail_ratio:
+            self.stats["tracking_failures"] += 1
+            return "tracking-lost"
+
+        pred_extr = self._predict_extr()
+        extr, inl = self._estimate_pose(feats, assoc_pt, assoc_kp, pred_extr, matches)
+        m.set_pose(slot, extr)
+
+        # write inlier associations into the map
+        for i in np.nonzero(inl)[0]:
+            m.add_observation(int(assoc_pt[i]), slot, int(assoc_kp[i]))
+
+        self.trajectory.append(TrackRecord(frame.timestamp, slot, extr.copy(), False))
+
+        is_keyframe = assoc_ratio <= cfg.keyframe_ratio
+        if is_keyframe:
+            m.set_keyframe(slot)
+            self.kf_counter += 1
+            self.stats["keyframes"] += 1
+            self.trajectory[-1].is_keyframe = True
+
+            m.cull_recent_points(
+                self.kf_counter, cfg.cull_point_window, cfg.cull_point_min_obs
+            )
+            self._triangulate_pairs(self.last_slot, slot, lf, feats, matches)
+            m.update_covisibility(slot, cfg.covis_threshold)
+            self.search_in_neighbors(slot, feats)
+            m.update_covisibility(slot, cfg.covis_threshold)
+            if cfg.local_ba:
+                self.local_ba(slot)
+            else:
+                self.global_ba()
+            if cfg.cull_frames:
+                m.cull_redundant_keyframes(
+                    cfg.cull_kf_redundancy, cfg.cull_kf_min_other
+                )
+
+        # bookkeeping: erase the previous frame if it never became a keyframe
+        # (reference BundleAdjustment.cpp:215-219)
+        if self.last_slot is not None and not m.kf_is_keyframe[self.last_slot]:
+            m.erase_frame(self.last_slot)
+        self.prev_extr = self.last_extr
+        self.last_extr = m.kf_pose[slot].copy()
+        self.last_slot = slot
+        self.last_feats = feats
+        return "keyframe" if is_keyframe else "tracked"
+
+    def finalize(self):
+        """Final global BA (3 outer rounds) — reference
+        BundleAdjustment.cpp:228-233."""
+        for _ in range(self.cfg.final_ba_outer):
+            self.global_ba(self.cfg.final_ba_iters)
+
+    # ------------------------------------------------------------------
+    # outputs
+    # ------------------------------------------------------------------
+
+    def trajectory_cam_to_world(self):
+        """(timestamps, cam->world 4x4) for every tracked frame; keyframe
+        poses are refreshed from the (BA-refined) map."""
+        ts, mats = [], []
+        for rec in self.trajectory:
+            extr = rec.extr
+            if rec.is_keyframe and self.map.kf_active[rec.slot]:
+                extr = self.map.kf_pose[rec.slot]
+            ts.append(rec.timestamp)
+            mats.append(np_se3.rt6_to_mat44(np_se3.rt6_inverse(extr)))
+        return np.asarray(ts), np.asarray(mats)
+
+    def map_points(self):
+        ids = self.map.active_points()
+        return self.map.pt_pos[ids].copy()
+
+    def run(self, dataset):
+        """Full pipeline over an iterable of FrameData."""
+        for i, frame in enumerate(dataset):
+            if i >= self.cfg.max_frames:
+                break
+            status = self.process_frame(frame)
+            if self.cfg.verbose:
+                print(f"[{i:4d}] {status}  kfs={self.stats['keyframes']} "
+                      f"pts={len(self.map.active_points())}")
+            if status == "tracking-lost":
+                break
+        self.finalize()
+        return self.stats
+
+
+def _feat_capacity(config: PipelineConfig):
+    """Upper bound on per-frame keypoints after per-level allocation rounding."""
+    return config.n_features + 16 * config.n_levels

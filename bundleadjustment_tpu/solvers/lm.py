@@ -41,10 +41,17 @@ class LMConfig(NamedTuple):
     rtol: float = 1e-9  # relative cost-decrease tolerance for early freeze
 
 
+# Fixed cost charged to an observation whose point sits behind the camera.
+# Ceres would evaluate a garbage/huge residual there; masking it to zero would
+# make "move everything behind the cameras" a cost-0 global optimum.  The
+# penalty is constant (no gradient), so LM never *accepts* a step that pushes
+# points behind, while pre-existing violations cancel in step comparisons.
+CHEIRALITY_PENALTY = 1.0e4
+
+
 def robust_cost(problem, R, t, points, robust=True):
     """Total Huber cost  sum rho(|r|) with rho the Huber loss (delta=2.4477)."""
     r, z = res.reprojection_residuals(problem, R, t, points)
-    mask = problem.valid & (z > 1e-6)
     nrm2 = jnp.sum(r * r, axis=-1)
     if robust:
         d = res.HUBER_DELTA
@@ -52,7 +59,8 @@ def robust_cost(problem, R, t, points, robust=True):
         rho = jnp.where(nrm <= d, 0.5 * nrm2, d * (nrm - 0.5 * d))
     else:
         rho = 0.5 * nrm2
-    return jnp.sum(jnp.where(mask, rho, 0.0))
+    rho = jnp.where(z > 1e-6, rho, CHEIRALITY_PENALTY)
+    return jnp.sum(jnp.where(problem.valid, rho, 0.0))
 
 
 def _apply_update(R, t, points, dc, dp, cam_fixed, pt_fixed):
@@ -211,14 +219,14 @@ def _motion_cost(K4, R, t, X, uv, sigma2, valid, robust):
     u = K4[0] * x_cam[:, 0] / zs + K4[2]
     v = K4[1] * x_cam[:, 1] / zs + K4[3]
     r2 = ((u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2) / jnp.maximum(sigma2, 1e-12)
-    mask = valid & (z > 1e-6)
     if robust:
         d = res.HUBER_DELTA
         nrm = jnp.sqrt(jnp.maximum(r2, 1e-20))
         rho = jnp.where(nrm <= d, 0.5 * r2, d * (nrm - 0.5 * d))
     else:
         rho = 0.5 * r2
-    return jnp.sum(jnp.where(mask, rho, 0.0))
+    rho = jnp.where(z > 1e-6, rho, CHEIRALITY_PENALTY)
+    return jnp.sum(jnp.where(valid, rho, 0.0))
 
 
 def _motion_only_single(K4, rt6, X, uv, sigma2, valid, cfg: MotionOnlyConfig):

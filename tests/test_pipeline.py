@@ -1,0 +1,101 @@
+"""End-to-end pipeline tests on rendered synthetic sequences.
+
+The reference has no equivalent harness (its only test mocks 3 points); these
+are golden-trajectory tests: render a textured plane with exact GT depth +
+poses, run the full pipeline, and require small ATE after Horn+scale
+alignment (SURVEY.md §4 'synthetic-scene integration tests')."""
+
+import numpy as np
+import pytest
+
+from bundleadjustment_tpu.data.synthetic import render_plane_sequence
+from bundleadjustment_tpu.data.tum import FrameData
+from bundleadjustment_tpu.metrics import evaluate_ate
+from bundleadjustment_tpu.pipeline import BundleAdjustmentPipeline, PipelineConfig
+
+
+def frames_to_framedata(frames):
+    return [
+        FrameData(
+            index=i,
+            timestamp=f["timestamp"],
+            gray=f["gray"],
+            depth=f["depth"],
+            rgb=None,
+            gt_cam_to_world=f["gt_cam_to_world"],
+        )
+        for i, f in enumerate(frames)
+    ]
+
+
+def run_and_ate(cfg, n_frames=6, motion_step=0.06, width=160, height=120,
+                fx=150.0, **render_kw):
+    frames, K4 = render_plane_sequence(
+        n_frames=n_frames, width=width, height=height, motion_step=motion_step,
+        fx=fx, fy=fx, **render_kw
+    )
+    ds = frames_to_framedata(frames)
+    pipe = BundleAdjustmentPipeline(cfg, K4, width, height)
+    stats = pipe.run(ds)
+    ts, mats = pipe.trajectory_cam_to_world()
+    assert len(ts) >= n_frames - 2, f"tracked too few frames: {len(ts)} ({stats})"
+    gt_ts = np.array([f["timestamp"] for f in frames])
+    gt_xyz = np.array([f["gt_cam_to_world"][:3, 3] for f in frames])
+    est_xyz = mats[:, :3, 3]
+    res = evaluate_ate(ts, est_xyz, gt_ts, gt_xyz, max_difference=0.02)
+    return res, pipe, stats
+
+
+@pytest.mark.slow
+def test_pipeline_gtdepth_ba_tracking():
+    cfg = PipelineConfig(
+        init_type="gtdepth",
+        estimation="ba",
+        n_features=400,
+        n_levels=3,
+        local_ba=False,
+        final_ba_outer=1,
+        final_ba_iters=10,
+    )
+    # 320x240: feature localization noise is small enough for sub-cm ATE
+    # (at 160x120 texture quantization dominates; see git history)
+    res, pipe, stats = run_and_ate(cfg, width=320, height=240, fx=300.0)
+    assert res["rmse"] < 0.012, res
+    assert stats["keyframes"] >= 2
+    assert len(pipe.map.active_points()) > 50
+
+
+@pytest.mark.slow
+def test_pipeline_standard_init():
+    cfg = PipelineConfig(
+        init_type="standard",
+        estimation="ba",
+        n_features=400,
+        n_levels=3,
+        local_ba=False,
+        final_ba_outer=1,
+        final_ba_iters=10,
+    )
+    # larger baseline: 2-view initialization from a homography needs parallax
+    # (small-baseline H decomposition is noise-dominated — same limitation as
+    # the reference's Standard init); 320x240 keeps triangulation noise
+    # (sigma_z ~ z^2 sigma_px / (f b)) below the assertion bound
+    res, pipe, stats = run_and_ate(cfg, motion_step=0.25, width=320, height=240, fx=300.0)
+    assert res["rmse"] < 0.04, res
+
+
+@pytest.mark.slow
+def test_pipeline_pnp_estimation():
+    cfg = PipelineConfig(
+        init_type="gtdepth",
+        estimation="pnp",
+        n_features=400,
+        n_levels=3,
+        local_ba=False,
+        final_ba_outer=1,
+        final_ba_iters=10,
+    )
+    res, pipe, stats = run_and_ate(cfg)
+    # pnp at coarse resolution: smoke-level bound (accuracy covered by the
+    # 320x240 gtdepth test; pnp shares the same motion-only core)
+    assert res["rmse"] < 0.06, res
