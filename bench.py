@@ -67,7 +67,10 @@ def time_solve(device, sc, arrays, repeats=3):
 
     def run():
         cams, pts, info = lm_mod.ba_solve(prob, cams0, pts0, config)
-        jax.block_until_ready((cams, pts))
+        # device->host fetch: forces completion even where block_until_ready
+        # is unreliable (experimental platforms); ~120 KB, negligible vs solve
+        np.asarray(cams)
+        np.asarray(pts)
         return info
 
     info = run()  # compile + warm

@@ -118,10 +118,19 @@ def main(argv=None):
         verbose=args.verbose,
     )
     pipe = BundleAdjustmentPipeline(cfg, ds.K4, ds.width, ds.height)
-    stats = pipe.run(ds)
 
     os.makedirs(args.output_path, exist_ok=True)
     prefix = os.path.join(args.output_path, output_prefix(args))
+
+    viz = None
+    if args.display_pointcloud:
+        from bundleadjustment_tpu.vis.live import LiveVisualizer
+
+        viz = LiveVisualizer(pipe, args.output_path, interval_s=1.0)
+
+    stats = pipe.run(ds)
+    if viz is not None:
+        viz.close()
 
     ts, mats = pipe.trajectory_cam_to_world()
     if args.trajectory:

@@ -89,6 +89,12 @@ class SceneMap:
             self._lib.map_kp_desc_ptr(h), (max_frames, max_kp, desc_words)
         )
 
+        # scale-envelope bounds per landmark (reference MapPoint.cpp:7-27:
+        # dmax = dist * 1.2^octave, dmin = dmax / 1.2^(n_levels-1));
+        # Python-side companion arrays to the native store
+        self.pt_dmin = np.zeros(max_points, np.float32)
+        self.pt_dmax = np.full(max_points, np.inf, np.float32)
+
     def __del__(self):
         try:
             self._lib.map_destroy(self._h)
@@ -151,6 +157,37 @@ class SceneMap:
         if pt < 0:
             raise RuntimeError("map point capacity exceeded")
         return pt
+
+    def set_point_scale_bounds(self, pt, dist, octave, scale_factor=1.2,
+                               n_levels=8):
+        """Distance envelope from the creating observation's octave
+        (reference MapPoint.cpp:7-27)."""
+        level = scale_factor ** int(octave)
+        dmax = float(dist) * level
+        self.pt_dmax[pt] = dmax
+        self.pt_dmin[pt] = dmax / (scale_factor ** (n_levels - 1))
+
+    def point_view_dirs(self, pt_ids):
+        """Mean viewing directions [n,3] (reference MapPoint.cpp:166-200):
+        average of unit vectors from observing keyframe centers to the point."""
+        from bundleadjustment_tpu.geometry import np_se3
+
+        dirs = np.zeros((len(pt_ids), 3), np.float64)
+        for i, pt in enumerate(pt_ids):
+            kfs, _ = self.point_observations(int(pt))
+            if len(kfs) == 0:
+                continue
+            acc = np.zeros(3)
+            for kf in kfs:
+                center = np_se3.rt6_inverse(self.kf_pose[kf])[3:]
+                v = self.pt_pos[pt] - center
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    acc += v / n
+            nn = np.linalg.norm(acc)
+            if nn > 1e-12:
+                dirs[i] = acc / nn
+        return dirs
 
     def add_observation(self, pt, kf, kp):
         return self._lib.map_add_observation(self._h, pt, kf, kp)

@@ -36,6 +36,7 @@ from bundleadjustment_tpu.pipeline.config import PipelineConfig
 from bundleadjustment_tpu.solvers import BAProblem, LMConfig, ba_solve
 from bundleadjustment_tpu.solvers.lm import MotionOnlyConfig, motion_only_ba
 from bundleadjustment_tpu.solvers.residuals import prune_outliers, cams_to_Rt
+from bundleadjustment_tpu.utils.profiling import PhaseTimer
 
 
 def sample_depth_bilinear(depth, uv):
@@ -113,6 +114,7 @@ class BundleAdjustmentPipeline:
         self.kf_counter = 0
         self.trajectory: list[TrackRecord] = []
         self.stats = {"frames": 0, "keyframes": 0, "tracking_failures": 0}
+        self.timers = PhaseTimer()
 
     # ------------------------------------------------------------------
     # device helpers
@@ -123,6 +125,10 @@ class BundleAdjustmentPipeline:
         return k
 
     def detect(self, gray) -> FrameFeatures:
+        with self.timers.phase("detect"):
+            return self._detect(gray)
+
+    def _detect(self, gray) -> FrameFeatures:
         f = detect_and_describe(jnp.asarray(gray), self.feat_cfg)
         return FrameFeatures(
             xy=np.asarray(f.xy),
@@ -134,6 +140,10 @@ class BundleAdjustmentPipeline:
 
     def match(self, fa: FrameFeatures, fb: FrameFeatures, max_dist=None):
         """knn2+ratio+uniqueness match a->b.  Returns (idx [Ma], dist [Ma])."""
+        with self.timers.phase("match"):
+            return self._match(fa, fb, max_dist)
+
+    def _match(self, fa, fb, max_dist=None):
         idx, dist = match_descriptors_jit(
             jnp.asarray(fa.desc),
             jnp.asarray(fb.desc),
@@ -150,6 +160,10 @@ class BundleAdjustmentPipeline:
     # ------------------------------------------------------------------
 
     def _solve_ba(self, snap, max_iters, solver=None):
+        with self.timers.phase("bundle_adjust"):
+            return self._solve_ba_inner(snap, max_iters, solver)
+
+    def _solve_ba_inner(self, snap, max_iters, solver=None):
         prob = BAProblem(
             K4=jnp.asarray(snap.K4),
             cam_idx=jnp.asarray(snap.cam_idx),
@@ -265,6 +279,8 @@ class BundleAdjustmentPipeline:
             xw = np_se3.rt6_apply(pose_ref, xc)
             pt = m.add_point(xw, desc=rf.desc[kp], first_kf=self.kf_counter)
             m.add_observation(pt, ref, kp)
+            m.set_point_scale_bounds(pt, np.linalg.norm(xc), rf.octave[kp],
+                                     self.cfg.scale_factor, self.cfg.n_levels)
             kp_point[kp] = pt
 
         # associate matches to the new points and track the current frame
@@ -387,6 +403,7 @@ class BundleAdjustmentPipeline:
         )
         pts = np.asarray(pts)
         ok = np.asarray(ok)
+        center_b = np_se3.rt6_inverse(m.kf_pose[slot_b])[3:]
         n = 0
         for i in np.nonzero(ok)[0]:
             pt = m.add_point(pts[i], desc=fb.desc[pair_b[i]], first_kf=self.kf_counter)
@@ -396,6 +413,10 @@ class BundleAdjustmentPipeline:
             if m.add_observation(pt, slot_b, int(pair_b[i])) != 1:
                 m.erase_point(pt)
                 continue
+            m.set_point_scale_bounds(
+                pt, np.linalg.norm(pts[i] - center_b), fb.octave[pair_b[i]],
+                self.cfg.scale_factor, self.cfg.n_levels,
+            )
             n += 1
         return n
 
@@ -403,7 +424,49 @@ class BundleAdjustmentPipeline:
     # neighborhood search & fusion  (reference SfMHelper.cpp:203-496)
     # ------------------------------------------------------------------
 
+    def _transfer_gate(self, pt_ids, kf, kp_ids):
+        """Acceptance gates for transferring a landmark observation into
+        keyframe `kf` at keypoints `kp_ids` — the reference's searchInNeighbors
+        cascade (SfMHelper.cpp:203-496): cheirality, chi2 < 5.991 with the
+        keypoint's octave sigma, distance inside the scale envelope
+        [0.8 dmin, 1.2 dmax], and viewing-angle dot > 0.5."""
+        m = self.map
+        if len(pt_ids) == 0:
+            return np.zeros(0, bool)
+        X = m.pt_pos[pt_ids].astype(np.float64)
+        extr = m.kf_pose[kf]
+        R = np_se3.aa_to_R(extr[:3])
+        center = np_se3.rt6_inverse(extr)[3:]
+        xc = X @ R.T + extr[3:]
+        z = xc[:, 2]
+        zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        K = self.K4
+        u = K[0] * xc[:, 0] / zs + K[2]
+        v = K[1] * xc[:, 1] / zs + K[3]
+        uv_kp = m.kp_xy[kf, kp_ids]
+        sig2 = m.kp_sigma2[kf, kp_ids]
+        chi2 = ((u - uv_kp[:, 0]) ** 2 + (v - uv_kp[:, 1]) ** 2) / np.maximum(sig2, 1e-12)
+        ok = (z > 0) & (chi2 < 5.991)
+
+        dist = np.linalg.norm(X - center, axis=1)
+        dmin = m.pt_dmin[pt_ids]
+        dmax = m.pt_dmax[pt_ids]
+        has_env = np.isfinite(dmax) & (dmax > 0)
+        ok &= ~has_env | ((dist > 0.8 * dmin) & (dist < 1.2 * dmax))
+
+        dirs = m.point_view_dirs(pt_ids)
+        cur = X - center
+        n = np.linalg.norm(cur, axis=1)
+        cur = cur / np.maximum(n[:, None], 1e-12)
+        has_dir = np.linalg.norm(dirs, axis=1) > 0.5
+        ok &= ~has_dir | (np.sum(dirs * cur, axis=1) > 0.5)
+        return ok
+
     def search_in_neighbors(self, kf, feats: FrameFeatures):
+        with self.timers.phase("search_in_neighbors"):
+            return self._search_in_neighbors(kf, feats)
+
+    def _search_in_neighbors(self, kf, feats: FrameFeatures):
         """Re-match the new keyframe against its covisibility neighborhood:
         transfer observations, fuse duplicate landmarks, triangulate new ones.
 
@@ -448,14 +511,16 @@ class BundleAdjustmentPipeline:
                 else:
                     m.fuse_points(b, a)
                 n_fused += 1
-            # transfer: neighbor has a landmark, current kp free
-            nb_only = (pt_cur < 0) & (pt_nb >= 0)
-            for i in np.nonzero(nb_only)[0]:
+            # transfer: neighbor has a landmark, current kp free (gated)
+            nb_only = np.nonzero((pt_cur < 0) & (pt_nb >= 0))[0]
+            gate = self._transfer_gate(pt_nb[nb_only], kf, kp_cur[nb_only])
+            for i in nb_only[gate]:
                 if m.add_observation(int(pt_nb[i]), kf, int(kp_cur[i])) == 1:
                     n_transfer += 1
-            # transfer the other way
-            cur_only = (pt_cur >= 0) & (pt_nb < 0)
-            for i in np.nonzero(cur_only)[0]:
+            # transfer the other way (gated against the neighbor frame)
+            cur_only = np.nonzero((pt_cur >= 0) & (pt_nb < 0))[0]
+            gate2 = self._transfer_gate(pt_cur[cur_only], nb, kp_nb[cur_only])
+            for i in cur_only[gate2]:
                 if m.add_observation(int(pt_cur[i]), nb, int(kp_nb[i])) == 1:
                     n_transfer += 1
             # triangulate brand-new pairs
@@ -679,6 +744,7 @@ class BundleAdjustmentPipeline:
             if status == "tracking-lost":
                 break
         self.finalize()
+        self.stats["phase_times"] = self.timers.report()
         return self.stats
 
 
