@@ -1,0 +1,165 @@
+"""Sliding-window BA + pose-graph stitching — the trajectory as the
+"sequence" axis (SURVEY.md §2.3 "sequence/context parallelism" analogue).
+
+The reference's scalability story is a single 10-frame local BA around the
+newest keyframe (`ba_project/src/ba/Optimizer.cpp:508`).  Here the whole
+trajectory is partitioned into overlapping keyframe windows and ALL windows
+solve simultaneously: per-window problems are padded to a common shape and
+the LM/Schur solve is `vmap`ped over the window axis — one batched
+computation that XLA tiles across the MXU, and that distributes over a
+device mesh by sharding the window axis (data-parallel over windows).
+
+The per-window solutions are gauge-free (each pins its own first camera), so
+a pose-graph solve stitches the relative poses from every window into one
+global trajectory (redundant edges from overlapping windows average drift),
+followed by a cameras-fixed point-only refinement.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bundleadjustment_tpu.geometry import np_se3
+from bundleadjustment_tpu.parallel.posegraph import PoseGraph, solve_pose_graph
+from bundleadjustment_tpu.solvers import BAProblem, LMConfig
+from bundleadjustment_tpu.solvers.lm import ba_solve
+
+
+def make_windows(n, window=10, stride=5):
+    """Overlapping index windows covering range(n).  Always >= 1 window."""
+    if n <= window:
+        return [list(range(n))]
+    out = []
+    start = 0
+    while True:
+        out.append(list(range(start, min(start + window, n))))
+        if start + window >= n:
+            break
+        start += stride
+    # pad the last window backward so all windows have equal length
+    last = out[-1]
+    if len(last) < window:
+        out[-1] = list(range(n - window, n))
+    return out
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _batched_solve(probs, cams, points, config):
+    return jax.vmap(lambda p, c, x: ba_solve(p, c, x, config))(probs, cams, points)
+
+
+def windowed_global_ba(scene_map, window=10, stride=5,
+                       config=None, pg_iters=15):
+    """Full-map refinement via batched window BA + pose-graph stitch.
+
+    Mutates the scene map: keyframe poses and landmark positions are updated
+    in place.  Returns an info dict.
+    """
+    if config is None:
+        config = LMConfig(max_iters=8, solver="dense")
+    kfs = [int(k) for k in scene_map.active_keyframes()]
+    K = len(kfs)
+    if K < 3:
+        return {"windows": 0}
+
+    windows = make_windows(K, window, stride)
+    snaps = [
+        scene_map.snapshot_problem([kfs[i] for i in w], min_obs=2)
+        for w in windows
+    ]
+
+    # pad all windows to common shapes
+    Kp = max(s.extr.shape[0] for s in snaps)
+    Lp = max(s.points.shape[0] for s in snaps)
+    Np = max(s.cam_idx.shape[0] for s in snaps)
+    W = len(snaps)
+
+    def pad2(a, n, fill=0):
+        out = np.full((n,) + a.shape[1:], fill, a.dtype)
+        out[: len(a)] = a
+        return out
+
+    cam_idx = np.stack([pad2(s.cam_idx, Np) for s in snaps])
+    pt_idx = np.stack([pad2(s.pt_idx, Np) for s in snaps])
+    uv = np.stack([pad2(s.uv, Np) for s in snaps])
+    sig = np.stack([pad2(s.sigma2, Np, 1) for s in snaps])
+    valid = np.stack([pad2(s.valid, Np, False) for s in snaps])
+    cam_fixed = np.stack([pad2(s.cam_fixed, Kp, True) for s in snaps])
+    extr = np.stack([pad2(s.extr, Kp) for s in snaps])
+    points = np.stack([pad2(s.points, Lp) for s in snaps])
+    K4 = np.broadcast_to(np.asarray(scene_map.K4), (W, 4)).copy()
+
+    probs = BAProblem(
+        K4=jnp.asarray(K4),
+        cam_idx=jnp.asarray(cam_idx),
+        pt_idx=jnp.asarray(pt_idx),
+        uv=jnp.asarray(uv),
+        sigma2=jnp.asarray(sig),
+        valid=jnp.asarray(valid),
+        cam_fixed=jnp.asarray(cam_fixed),
+        pt_fixed=jnp.zeros((W, Lp), bool),
+    )
+    cams_opt, pts_opt, info = _batched_solve(
+        probs, jnp.asarray(extr), jnp.asarray(points), config
+    )
+    cams_opt = np.asarray(cams_opt)
+    pts_opt = np.asarray(pts_opt)
+
+    # pose graph: edges between consecutive kfs of each window from the
+    # window-local solutions (relative poses are gauge-invariant)
+    ei, ej, rels, ws = [], [], [], []
+    for wi, w in enumerate(windows):
+        n_real = len(w)
+        for a in range(n_real - 1):
+            Ti = cams_opt[wi, a].astype(np.float64)
+            Tj = cams_opt[wi, a + 1].astype(np.float64)
+            rels.append(np_se3.rt6_compose(Ti, np_se3.rt6_inverse(Tj)))
+            ei.append(w[a])
+            ej.append(w[a + 1])
+            ws.append(1.0)
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    graph = PoseGraph(
+        edge_i=jnp.asarray(np.asarray(ei, np.int32)),
+        edge_j=jnp.asarray(np.asarray(ej, np.int32)),
+        rel=jnp.asarray(np.asarray(rels, np.float32)),
+        weight=jnp.asarray(np.asarray(ws, np.float32)),
+        valid=jnp.ones(len(ei), bool),
+        node_fixed=jnp.asarray(fixed),
+    )
+    poses0 = scene_map.kf_pose[kfs].astype(np.float32)
+    poses_glob, pg_info = solve_pose_graph(graph, jnp.asarray(poses0),
+                                           max_iters=pg_iters)
+    poses_glob = np.asarray(poses_glob, np.float64)
+    for i, kf in enumerate(kfs):
+        scene_map.set_pose(kf, poses_glob[i])
+
+    # cameras-fixed point refinement on the stitched trajectory
+    snap = scene_map.snapshot_problem(kfs, min_obs=2)
+    prob = BAProblem(
+        K4=jnp.asarray(snap.K4),
+        cam_idx=jnp.asarray(snap.cam_idx),
+        pt_idx=jnp.asarray(snap.pt_idx),
+        uv=jnp.asarray(snap.uv),
+        sigma2=jnp.asarray(snap.sigma2),
+        valid=jnp.asarray(snap.valid),
+        cam_fixed=jnp.ones(snap.extr.shape[0], bool),
+        pt_fixed=jnp.zeros(snap.points.shape[0], bool),
+    )
+    _, pts_ref, _ = ba_solve(
+        prob, jnp.asarray(snap.extr), jnp.asarray(snap.points),
+        LMConfig(max_iters=5, solver="dense"),
+    )
+    scene_map.writeback(snap, snap.extr, np.asarray(pts_ref))
+
+    return {
+        "windows": W,
+        "window_cost0": np.asarray(info["cost0"]).tolist(),
+        "window_cost": np.asarray(info["cost"]).tolist(),
+        "pg_cost0": float(pg_info["cost0"]),
+        "pg_cost": float(pg_info["cost"]),
+    }

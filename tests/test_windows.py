@@ -1,0 +1,55 @@
+import numpy as np
+import pytest
+
+from bundleadjustment_tpu.parallel.windows import make_windows, windowed_global_ba
+
+
+def test_make_windows():
+    assert make_windows(5, window=10, stride=5) == [[0, 1, 2, 3, 4]]
+    ws = make_windows(20, window=10, stride=5)
+    assert ws[0] == list(range(10))
+    assert ws[-1] == list(range(10, 20))
+    assert all(len(w) == 10 for w in ws)
+    covered = sorted({i for w in ws for i in w})
+    assert covered == list(range(20))
+
+
+@pytest.mark.slow
+def test_windowed_global_ba_improves_map(rng):
+    """Build a map store from a synthetic scene with noisy poses, run the
+    windowed BA + pose-graph stitch, and require pose improvement."""
+    from bundleadjustment_tpu.data.synthetic import make_synthetic_scene
+    from bundleadjustment_tpu.mapstate import SceneMap
+
+    sc = make_synthetic_scene(n_cams=12, n_pts=200, pixel_noise=0.3,
+                              init_rot_noise=0.03, init_trans_noise=0.08, seed=21)
+    m = SceneMap(max_frames=64, max_points=4096, max_kp=256, K4=sc.K4)
+    # register frames with their keypoints = projections (uv per obs)
+    kp_count = np.zeros(12, int)
+    kp_of_obs = np.zeros(len(sc.cam_idx), int)
+    for n in range(len(sc.cam_idx)):
+        k = sc.cam_idx[n]
+        kp_of_obs[n] = kp_count[k]
+        kp_count[k] += 1
+    kp_xy = np.zeros((12, kp_count.max(), 2), np.float32)
+    for n in range(len(sc.cam_idx)):
+        kp_xy[sc.cam_idx[n], kp_of_obs[n]] = sc.uv[n]
+    for k in range(12):
+        m.add_frame(
+            float(k), sc.extr_init[k], kp_xy[k, : kp_count[k]],
+            np.zeros(kp_count[k], np.int32), np.ones(kp_count[k], np.float32),
+            np.zeros((kp_count[k], 8), np.uint32),
+        )
+        m.set_keyframe(k)
+    pts = [m.add_point(sc.points_init[l]) for l in range(200)]
+    for n in range(len(sc.cam_idx)):
+        m.add_observation(int(sc.pt_idx[n]), int(sc.cam_idx[n]), int(kp_of_obs[n]))
+
+    err_before = np.linalg.norm(m.kf_pose[:12] - sc.extr_gt, axis=1)
+    info = windowed_global_ba(m, window=6, stride=3)
+    assert info["windows"] >= 2
+    err_after = np.linalg.norm(m.kf_pose[:12] - sc.extr_gt, axis=1)
+    # anchored gauge: first camera exact; overall pose error shrinks a lot
+    assert err_after.mean() < err_before.mean() * 0.5
+    for c0, c1 in zip(info["window_cost0"], info["window_cost"]):
+        assert c1 < c0
