@@ -53,6 +53,10 @@ def build_parser():
     p.add_argument("--n-features", type=int, default=1000)
     p.add_argument("--n-levels", type=int, default=8)
     p.add_argument("--ba-solver", choices=["dense", "pcg"], default="dense")
+    p.add_argument("--ba-layout", choices=["flat", "dense_landmark"],
+                   default="flat",
+                   help="BA data layout: flat observation table, or the "
+                        "TPU-optimized dense landmark-major layout")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true", default=False)
     return p
@@ -114,6 +118,7 @@ def main(argv=None):
         n_features=args.n_features,
         n_levels=args.n_levels,
         ba_solver=args.ba_solver,
+        ba_layout=args.ba_layout,
         seed=args.seed,
         verbose=args.verbose,
     )

@@ -63,6 +63,9 @@ class PipelineConfig:
     motion_outer: int = 4
     motion_inner: int = 10
     ba_solver: str = "dense"  # "dense" | "pcg"; pcg for big maps
+    ba_layout: str = "flat"  # "flat" | "dense_landmark"; dense_landmark is the
+    #                           TPU-optimized layout (solvers/dense_ba.py)
+    ba_max_obs_per_pt: int = 16
     pcg_iters: int = 60
 
     # culling

@@ -164,6 +164,8 @@ class BundleAdjustmentPipeline:
             return self._solve_ba_inner(snap, max_iters, solver)
 
     def _solve_ba_inner(self, snap, max_iters, solver=None):
+        if self.cfg.ba_layout == "dense_landmark":
+            return self._solve_ba_dense(snap, max_iters)
         prob = BAProblem(
             K4=jnp.asarray(snap.K4),
             cam_idx=jnp.asarray(snap.cam_idx),
@@ -184,6 +186,40 @@ class BundleAdjustmentPipeline:
         R, t = cams_to_Rt(cams)
         new_valid = prune_outliers(prob, R, t, pts)
         self.map.writeback(snap, np.asarray(cams), np.asarray(pts), np.asarray(new_valid))
+        return info
+
+    def _solve_ba_dense(self, snap, max_iters):
+        """TPU-optimized dense-landmark-layout solve (solvers/dense_ba.py)."""
+        from bundleadjustment_tpu.solvers.dense_ba import (
+            dense_ba_solve,
+            densify_problem,
+        )
+
+        dense, _dropped = densify_problem(
+            snap.K4, snap.cam_idx, snap.pt_idx, snap.uv, snap.sigma2,
+            snap.valid, snap.cam_fixed, snap.points.shape[0],
+            max_obs=self.cfg.ba_max_obs_per_pt,
+        )
+        cfg = LMConfig(max_iters=max_iters, solver="pcg",
+                       pcg_iters=self.cfg.pcg_iters)
+        cams, pts, info = dense_ba_solve(
+            dense, jnp.asarray(snap.extr), jnp.asarray(snap.points), cfg
+        )
+        # chi2 prune in the flat layout for outlier writeback
+        prob = BAProblem(
+            K4=jnp.asarray(snap.K4),
+            cam_idx=jnp.asarray(snap.cam_idx),
+            pt_idx=jnp.asarray(snap.pt_idx),
+            uv=jnp.asarray(snap.uv),
+            sigma2=jnp.asarray(snap.sigma2),
+            valid=jnp.asarray(snap.valid),
+            cam_fixed=jnp.asarray(snap.cam_fixed),
+            pt_fixed=jnp.zeros(snap.points.shape[0], bool),
+        )
+        R, t = cams_to_Rt(cams)
+        new_valid = prune_outliers(prob, R, t, pts)
+        self.map.writeback(snap, np.asarray(cams), np.asarray(pts),
+                           np.asarray(new_valid))
         return info
 
     def global_ba(self, max_iters=None):

@@ -1,0 +1,77 @@
+import numpy as np
+import jax.numpy as jnp
+
+from bundleadjustment_tpu.data.synthetic import make_synthetic_scene
+from bundleadjustment_tpu.solvers import BAProblem, LMConfig, ba_solve
+from bundleadjustment_tpu.solvers.dense_ba import dense_ba_solve, densify_problem
+
+
+def build(sc, max_obs=16):
+    K = sc.extr_init.shape[0]
+    cam_fixed = np.zeros(K, bool)
+    cam_fixed[:2] = True
+    sc.extr_init[1] = sc.extr_gt[1]
+    dense, dropped = densify_problem(
+        sc.K4, sc.cam_idx, sc.pt_idx, sc.uv, sc.sigma2, sc.valid,
+        cam_fixed, sc.points_init.shape[0], max_obs=max_obs,
+    )
+    return dense, dropped, cam_fixed
+
+
+def test_densify_groups_all_obs():
+    sc = make_synthetic_scene(n_cams=6, n_pts=100, seed=31)
+    dense, dropped, _ = build(sc)
+    assert dropped == 0
+    assert int(dense.valid.sum()) == int(sc.valid.sum())
+    # every dense obs maps back to a flat obs with identical uv
+    ci = np.asarray(dense.cam_idx)
+    vd = np.asarray(dense.valid)
+    uv = np.asarray(dense.uv)
+    flat = {(int(sc.pt_idx[n]), int(sc.cam_idx[n])): sc.uv[n]
+            for n in range(len(sc.cam_idx))}
+    for l in range(100):
+        for o in np.nonzero(vd[l])[0]:
+            np.testing.assert_allclose(uv[l, o], flat[(l, int(ci[l, o]))], atol=0)
+
+
+def test_dense_matches_flat_solver():
+    sc = make_synthetic_scene(n_cams=8, n_pts=200, pixel_noise=0.3, seed=32)
+    dense, _, cam_fixed = build(sc)
+    cfg = LMConfig(max_iters=10, solver="pcg", pcg_iters=60)
+    cams_d, pts_d, info_d = dense_ba_solve(
+        dense, jnp.asarray(sc.extr_init), jnp.asarray(sc.points_init), cfg
+    )
+    prob = BAProblem(
+        K4=jnp.asarray(sc.K4),
+        cam_idx=jnp.asarray(sc.cam_idx),
+        pt_idx=jnp.asarray(sc.pt_idx),
+        uv=jnp.asarray(sc.uv),
+        sigma2=jnp.asarray(sc.sigma2),
+        valid=jnp.asarray(sc.valid),
+        cam_fixed=jnp.asarray(cam_fixed),
+        pt_fixed=jnp.zeros(200, bool),
+    )
+    cams_f, pts_f, info_f = ba_solve(
+        prob, jnp.asarray(sc.extr_init), jnp.asarray(sc.points_init), cfg
+    )
+    np.testing.assert_allclose(float(info_d["cost0"]), float(info_f["cost0"]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(cams_d), np.asarray(cams_f), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(pts_d), np.asarray(pts_f), atol=2e-2)
+
+
+def test_dense_converges_to_gt():
+    sc = make_synthetic_scene(n_cams=8, n_pts=300, pixel_noise=0.0, seed=33)
+    dense, _, _ = build(sc)
+    cams, pts, info = dense_ba_solve(
+        dense, jnp.asarray(sc.extr_init), jnp.asarray(sc.points_init),
+        LMConfig(max_iters=15, solver="pcg", pcg_iters=60),
+    )
+    assert float(info["cost"]) < float(info["cost0"]) * 1e-4
+    np.testing.assert_allclose(np.asarray(cams), sc.extr_gt, atol=2e-3)
+
+
+def test_dense_obs_cap_drops_excess():
+    sc = make_synthetic_scene(n_cams=10, n_pts=50, seed=34)
+    dense, dropped, _ = build(sc, max_obs=4)
+    assert dropped > 0
+    assert int(dense.valid.sum()) + dropped == int(sc.valid.sum())
