@@ -141,7 +141,7 @@ def main(argv=None):
     if args.trajectory:
         write_tum_trajectory(prefix + "_estimatedPoses.txt", ts, mats)
 
-    pts = pipe.map_points()
+    pts, pt_colors = pipe.map_points_colored()
     kf_slots = pipe.map.active_keyframes()
     import numpy as np
 
@@ -151,11 +151,11 @@ def main(argv=None):
         np_se3.rt6_to_mat44(np_se3.rt6_inverse(pipe.map.kf_pose[k])) for k in kf_slots
     ]
     verts, faces, colors = create_map_mesh(
-        pts, cam_poses=cam_mats, faces_type=args.faces_type
+        pts, colors=pt_colors, cam_poses=cam_mats, faces_type=args.faces_type
     )
     write_off(prefix + "_mesh.off", verts, faces, colors)
     if args.display_pointcloud:
-        write_ply(prefix + "_cloud.ply", pts)
+        write_ply(prefix + "_cloud.ply", pts, colors=pt_colors)
 
     results = dict(stats)
     results["n_map_points"] = int(len(pts))

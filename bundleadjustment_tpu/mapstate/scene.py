@@ -94,6 +94,9 @@ class SceneMap:
         # Python-side companion arrays to the native store
         self.pt_dmin = np.zeros(max_points, np.float32)
         self.pt_dmax = np.full(max_points, np.inf, np.float32)
+        # sub-pixel reference color sampled at landmark creation
+        # (reference MapPoint.cpp:317-341)
+        self.pt_color = np.full((max_points, 3), 200, np.uint8)
 
     def __del__(self):
         try:

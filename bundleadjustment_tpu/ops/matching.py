@@ -137,3 +137,53 @@ def match_descriptors(
 match_descriptors_jit = functools.partial(
     jax.jit, static_argnames=("metric", "ratio", "max_dist", "cross_check")
 )(match_descriptors)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ratio", "max_dist", "cross_check", "interpret")
+)
+def match_descriptors_fused(
+    desc_a,
+    desc_b,
+    valid_a=None,
+    valid_b=None,
+    ratio=DEFAULT_RATIO,
+    max_dist=None,
+    cross_check=True,
+    interpret=False,
+):
+    """Hamming matching via the fused Pallas top-2 kernel (TPU fast path).
+
+    Same contract as `match_descriptors(metric="hamming")` but the [M1, M2]
+    distance matrix never materializes in HBM (`ops/pallas_matching.py`).
+    """
+    from bundleadjustment_tpu.ops.pallas_matching import hamming_top2_pallas
+
+    m1 = desc_a.shape[0]
+    m2 = desc_b.shape[0]
+    tv = (
+        valid_b.astype(jnp.int32)
+        if valid_b is not None
+        else jnp.ones(m2, jnp.int32)
+    )
+    best, second, idx = hamming_top2_pallas(desc_a, desc_b, tv, interpret=interpret)
+    second = jnp.where(jnp.isinf(second), jnp.finfo(jnp.float32).max, second)
+    ok = jnp.isfinite(best) & (best < ratio * second)
+    if valid_a is not None:
+        ok = ok & valid_a
+    if max_dist is not None:
+        ok = ok & (best <= max_dist)
+    if cross_check:
+        big = jnp.finfo(jnp.float32).max
+        per_train_best = jax.ops.segment_min(
+            jnp.where(ok, best, big), idx, num_segments=m2
+        )
+        is_best = ok & (best <= per_train_best[idx])
+        qidx = jnp.arange(m1, dtype=jnp.int32)
+        first_q = jax.ops.segment_min(
+            jnp.where(is_best, qidx, m1), idx, num_segments=m2
+        )
+        ok = is_best & (first_q[idx] == qidx)
+    match_idx = jnp.where(ok, idx, -1).astype(jnp.int32)
+    match_dist = jnp.where(ok, best, jnp.inf)
+    return match_idx, match_dist

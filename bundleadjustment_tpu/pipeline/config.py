@@ -35,6 +35,8 @@ class PipelineConfig:
     scale_factor: float = 1.2
     detector: str = "fast_harris"
     match_ratio: float = 0.7  # Lowe ratio (FeatureProcessor.cpp:53)
+    matcher: str = "auto"  # "auto" | "xla" | "pallas": auto picks the fused
+    #                         Pallas kernel on TPU, plain XLA elsewhere
     min_init_matches: int = 100  # BundleAdjustment.cpp:96-109
 
     # association / search thresholds (Hamming, of 256 bits; the reference's

@@ -39,6 +39,32 @@ from bundleadjustment_tpu.solvers.residuals import prune_outliers, cams_to_Rt
 from bundleadjustment_tpu.utils.profiling import PhaseTimer
 
 
+def sample_color_bilinear(image, uv):
+    """Sub-pixel color lookup (reference MapPoint.cpp:317-341).
+
+    image: [H,W] gray in [0,1] or [H,W,3] uint8.  Returns [N,3] uint8.
+    """
+    h, w = image.shape[:2]
+    x = np.clip(uv[:, 0], 0, w - 1.001)
+    y = np.clip(uv[:, 1], 0, h - 1.001)
+    x0 = x.astype(int)
+    y0 = y.astype(int)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    img = image.astype(np.float32)
+    if img.ndim == 2:
+        img = img[..., None] * 255.0
+    val = (
+        img[y0, x0] * (1 - fx) * (1 - fy)
+        + img[y0, x0 + 1] * fx * (1 - fy)
+        + img[y0 + 1, x0] * (1 - fx) * fy
+        + img[y0 + 1, x0 + 1] * fx * fy
+    )
+    if val.shape[1] == 1:
+        val = np.repeat(val, 3, axis=1)
+    return np.clip(val, 0, 255).astype(np.uint8)
+
+
 def sample_depth_bilinear(depth, uv):
     """Sub-pixel depth lookup; invalid (-inf / out of range) -> nan.
 
@@ -103,6 +129,10 @@ class BundleAdjustmentPipeline:
             detector=config.detector,
         )
         self._key = jax.random.PRNGKey(config.seed)
+        if config.matcher == "auto":
+            self._use_pallas_matcher = jax.default_backend() == "tpu"
+        else:
+            self._use_pallas_matcher = config.matcher == "pallas"
 
         self.initialized = False
         self.ref_slot = None  # pre-init reference frame
@@ -144,6 +174,18 @@ class BundleAdjustmentPipeline:
             return self._match(fa, fb, max_dist)
 
     def _match(self, fa, fb, max_dist=None):
+        if self._use_pallas_matcher:
+            from bundleadjustment_tpu.ops.matching import match_descriptors_fused
+
+            idx, dist = match_descriptors_fused(
+                jnp.asarray(fa.desc),
+                jnp.asarray(fb.desc),
+                valid_a=jnp.asarray(fa.valid),
+                valid_b=jnp.asarray(fb.valid),
+                ratio=self.cfg.match_ratio,
+                max_dist=max_dist,
+            )
+            return np.asarray(idx), np.asarray(dist)
         idx, dist = match_descriptors_jit(
             jnp.asarray(fa.desc),
             jnp.asarray(fb.desc),
@@ -318,6 +360,11 @@ class BundleAdjustmentPipeline:
             m.set_point_scale_bounds(pt, np.linalg.norm(xc), rf.octave[kp],
                                      self.cfg.scale_factor, self.cfg.n_levels)
             kp_point[kp] = pt
+        ref_img = getattr(self, "_ref_image", None)
+        if ref_img is not None:
+            created = np.nonzero(kp_point >= 0)[0]
+            cols = sample_color_bilinear(ref_img, rf.xy[created])
+            m.pt_color[kp_point[created]] = cols
 
         # associate matches to the new points and track the current frame
         assoc_pts, assoc_uv, assoc_sig, assoc_kp, assoc_pt = [], [], [], [], []
@@ -390,12 +437,20 @@ class BundleAdjustmentPipeline:
         )
         pts = np.asarray(pts)
         ok = np.asarray(ok)
+        cur_img = getattr(self, "_cur_image", None)
+        cols = (
+            sample_color_bilinear(cur_img, cur_feats.xy[pair_cur])
+            if cur_img is not None
+            else None
+        )
         n_created = 0
         for i in np.nonzero(ok)[0]:
             pt = m.add_point(pts[i], desc=cur_feats.desc[pair_cur[i]],
                              first_kf=self.kf_counter)
             m.add_observation(pt, ref, int(pair_ref[i]))
             m.add_observation(pt, cur_slot, int(pair_cur[i]))
+            if cols is not None:
+                m.pt_color[pt] = cols[i]
             n_created += 1
         if n_created < 50:
             return False
@@ -416,7 +471,8 @@ class BundleAdjustmentPipeline:
     # ------------------------------------------------------------------
 
     def _triangulate_pairs(self, slot_a, slot_b, fa, fb, matches,
-                           exclude_with_points=True):
+                           exclude_with_points=True, image=None,
+                           image_side="b"):
         """Triangulate matched keypoint pairs that lack landmarks
         (reference BundleAdjustment.cpp:166-185 -> SfMHelper.cpp:759-878)."""
         m = self.map
@@ -440,6 +496,10 @@ class BundleAdjustmentPipeline:
         pts = np.asarray(pts)
         ok = np.asarray(ok)
         center_b = np_se3.rt6_inverse(m.kf_pose[slot_b])[3:]
+        colors = None
+        if image is not None:
+            kp_xy = fa.xy[pair_a] if image_side == "a" else fb.xy[pair_b]
+            colors = sample_color_bilinear(image, kp_xy)
         n = 0
         for i in np.nonzero(ok)[0]:
             pt = m.add_point(pts[i], desc=fb.desc[pair_b[i]], first_kf=self.kf_counter)
@@ -453,6 +513,8 @@ class BundleAdjustmentPipeline:
                 pt, np.linalg.norm(pts[i] - center_b), fb.octave[pair_b[i]],
                 self.cfg.scale_factor, self.cfg.n_levels,
             )
+            if colors is not None:
+                m.pt_color[pt] = colors[i]
             n += 1
         return n
 
@@ -564,7 +626,10 @@ class BundleAdjustmentPipeline:
             if none_have.any():
                 matches_vec = np.full(len(feats.xy), -1, np.int64)
                 matches_vec[kp_cur[none_have]] = kp_nb[none_have]
-                n_tri += self._triangulate_pairs(kf, nb, feats, nf, matches_vec)
+                n_tri += self._triangulate_pairs(
+                    kf, nb, feats, nf, matches_vec,
+                    image=getattr(self, "_cur_image", None), image_side="a",
+                )
         return {"fused": n_fused, "transferred": n_transfer, "triangulated": n_tri}
 
     # ------------------------------------------------------------------
@@ -631,6 +696,7 @@ class BundleAdjustmentPipeline:
         cfg = self.cfg
         m = self.map
         feats = self.detect(frame.gray)
+        self._cur_image = frame.rgb if frame.rgb is not None else frame.gray
         slot = m.add_frame(
             frame.timestamp,
             np.zeros(6),
@@ -647,6 +713,7 @@ class BundleAdjustmentPipeline:
                 self.ref_slot = slot
                 self.ref_feats = feats
                 self._ref_depth = frame.depth
+                self._ref_image = self._cur_image
                 return "ref"
             matches, dists = self.match(self.ref_feats, feats)
             n_matches = int((matches >= 0).sum())
@@ -676,6 +743,7 @@ class BundleAdjustmentPipeline:
             self.ref_slot = slot
             self.ref_feats = feats
             self._ref_depth = frame.depth
+            self._ref_image = self._cur_image
             return "ref-reset"
 
         # ---- tracking path ----
@@ -719,7 +787,8 @@ class BundleAdjustmentPipeline:
             m.cull_recent_points(
                 self.kf_counter, cfg.cull_point_window, cfg.cull_point_min_obs
             )
-            self._triangulate_pairs(self.last_slot, slot, lf, feats, matches)
+            self._triangulate_pairs(self.last_slot, slot, lf, feats, matches,
+                                    image=self._cur_image, image_side="b")
             m.update_covisibility(slot, cfg.covis_threshold)
             self.search_in_neighbors(slot, feats)
             m.update_covisibility(slot, cfg.covis_threshold)
@@ -767,6 +836,10 @@ class BundleAdjustmentPipeline:
     def map_points(self):
         ids = self.map.active_points()
         return self.map.pt_pos[ids].copy()
+
+    def map_points_colored(self):
+        ids = self.map.active_points()
+        return self.map.pt_pos[ids].copy(), self.map.pt_color[ids].copy()
 
     def run(self, dataset):
         """Full pipeline over an iterable of FrameData."""
