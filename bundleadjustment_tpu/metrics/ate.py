@@ -51,6 +51,30 @@ def ate_rmse(model, data, with_scale=True):
     return float(np.sqrt(np.mean(err**2)))
 
 
+def plot_trajectories(path, est_xyz, gt_xyz, aligned_xyz=None):
+    """Save the reference script's trajectory comparison plot
+    (evaluate_ate_scale.py's --plot)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    gt = np.asarray(gt_xyz)
+    ax.plot(gt[:, 0], gt[:, 1], "k-", label="ground truth")
+    est = np.asarray(est_xyz)
+    ax.plot(est[:, 0], est[:, 1], "b:", label="estimated (raw)")
+    if aligned_xyz is not None:
+        al = np.asarray(aligned_xyz)
+        ax.plot(al[:, 0], al[:, 1], "r-", label="estimated (aligned)")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.legend()
+    ax.set_aspect("equal", adjustable="datalim")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
 def evaluate_ate(est_ts, est_xyz, gt_ts, gt_xyz, max_difference=0.02):
     """Timestamp-associated ATE summary (associate.py + evaluate_ate_scale.py).
 
@@ -88,3 +112,40 @@ def evaluate_ate(est_ts, est_xyz, gt_ts, gt_xyz, max_difference=0.02):
         "R": R,
         "t": t,
     }
+
+
+def main(argv=None):
+    """CLI mirroring the reference's offline evaluation
+    (`evaluate_ate_scale.py groundtruth.txt estimated.txt [--plot out.png]`)."""
+    import argparse
+
+    from bundleadjustment_tpu.data.tum import read_tum_trajectory
+
+    p = argparse.ArgumentParser(prog="bundleadjustment_tpu.metrics.ate")
+    p.add_argument("groundtruth")
+    p.add_argument("estimated")
+    p.add_argument("--max-difference", type=float, default=0.02)
+    p.add_argument("--plot", default="")
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    gt_ts, gt_mats = read_tum_trajectory(args.groundtruth)
+    est_ts, est_mats = read_tum_trajectory(args.estimated)
+    stats = evaluate_ate(
+        est_ts, est_mats[:, :3, 3], gt_ts, gt_mats[:, :3, 3],
+        max_difference=args.max_difference,
+    )
+    if args.plot:
+        aligned = (stats["scale"] * (stats["R"] @ est_mats[:, :3, 3].T)).T + stats["t"]
+        plot_trajectories(args.plot, est_mats[:, :3, 3], gt_mats[:, :3, 3], aligned)
+    if args.verbose:
+        for k in ("rmse", "mean", "median", "std", "min", "max", "n_pairs", "scale"):
+            print(f"absolute_translational_error.{k} {stats[k]}")
+    else:
+        # reference prints bare RMSE (evaluate_ate_scale.py:180)
+        print(stats["rmse"])
+    return stats
+
+
+if __name__ == "__main__":
+    main()
