@@ -44,6 +44,8 @@ def _hamming_top2_kernel(qdesc_ref, tdesc_ref, tvalid_ref, best_ref, second_ref,
     """Grid step j: fold train tile j into the running top-2 state.
 
     state: VMEM scratch [M1, 3] float32 rows = (best, second, best_idx).
+    All 1-D quantities travel as [., 1] blocks — Mosaic rejects some 1-D
+    layouts (XLA tiles s32[N] as (1024), Mosaic as (512)).
     """
     j = pl.program_id(0)
     m1 = qdesc_ref.shape[0]
@@ -57,11 +59,12 @@ def _hamming_top2_kernel(qdesc_ref, tdesc_ref, tvalid_ref, best_ref, second_ref,
 
     q = qdesc_ref[:]  # [M1, W]
     t = tdesc_ref[:]  # [tile, W]
-    # all-pairs XOR popcount: [M1, tile]
+    # all-pairs XOR popcount: [M1, tile]; cast to int32 before reducing
+    # (Mosaic does not lower reductions over unsigned integers)
     x = q[:, None, :] ^ t[None, :, :]
-    d = jnp.sum(_popcount32(x), axis=-1).astype(jnp.float32)
+    d = jnp.sum(_popcount32(x).astype(jnp.int32), axis=-1).astype(jnp.float32)
     # invalid train rows -> +inf
-    d = jnp.where(tvalid_ref[:][None, :] != 0, d, jnp.inf)
+    d = jnp.where(tvalid_ref[:, 0][None, :] != 0, d, jnp.inf)
 
     # tile-local top-2
     tile_best = jnp.min(d, axis=1)
@@ -91,9 +94,9 @@ def _hamming_top2_kernel(qdesc_ref, tdesc_ref, tvalid_ref, best_ref, second_ref,
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _emit():
-        best_ref[:] = state[:, 0]
-        second_ref[:] = state[:, 1]
-        idx_ref[:] = state[:, 2].astype(jnp.int32)
+        best_ref[:, 0] = state[:, 0]
+        second_ref[:, 0] = state[:, 1]
+        idx_ref[:, 0] = state[:, 2].astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -118,19 +121,19 @@ def hamming_top2_pallas(qdesc, tdesc, tvalid, interpret=False):
         in_specs=[
             pl.BlockSpec((m1, w), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TRAIN_TILE, w), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TRAIN_TILE,), lambda j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TRAIN_TILE, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((m1,), lambda j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m1,), lambda j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m1,), lambda j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m1, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m1, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m1, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m1,), jnp.float32),
-            jax.ShapeDtypeStruct((m1,), jnp.float32),
-            jax.ShapeDtypeStruct((m1,), jnp.int32),
+            jax.ShapeDtypeStruct((m1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m1, 1), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((m1, 3), jnp.float32)],
         interpret=interpret,
-    )(qdesc, tdesc, tvalid.astype(jnp.int32))
-    return best, second, idx
+    )(qdesc, tdesc, tvalid.astype(jnp.int32)[:, None])
+    return best[:, 0], second[:, 0], idx[:, 0]

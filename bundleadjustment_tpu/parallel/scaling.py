@@ -1,0 +1,98 @@
+"""Scaling-efficiency harness for the distributed Schur BA.
+
+BASELINE.json config 5 asks for >=70% scaling efficiency on a multi-host
+slice at >=100k landmarks.  This harness measures LM-iterations/s of the
+landmark-sharded solve on meshes of 1..D devices over the SAME total
+problem (strong scaling) or proportionally grown problems (weak scaling),
+and reports efficiency = speedup / device_count.
+
+On a single-chip environment it still runs against XLA's virtual CPU
+devices (validating the harness and the sharding path); real numbers come
+from a pod slice where the psum rides ICI.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def measure_scaling(
+    n_landmarks=8192,
+    n_cams=32,
+    obs_per_pt=6,
+    device_counts=None,
+    lm_iters=5,
+    pcg_iters=30,
+    repeats=2,
+    weak=False,
+    seed=0,
+):
+    """Returns {"per_device": [...], "efficiency": [...], ...}."""
+    import jax
+    from jax.sharding import Mesh
+
+    from bundleadjustment_tpu.data.synthetic import make_synthetic_scene
+    from bundleadjustment_tpu.parallel import shard_problem, sharded_ba_solve
+    from bundleadjustment_tpu.parallel.sharded_ba import AXIS
+    from bundleadjustment_tpu.solvers import LMConfig
+
+    devs = jax.devices()
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devs)]
+
+    results = []
+    for d in device_counts:
+        L = n_landmarks * d if weak else n_landmarks
+        sc = make_synthetic_scene(
+            n_cams=n_cams, n_pts=L, obs_per_pt=obs_per_pt, pixel_noise=0.5,
+            seed=seed,
+        )
+        cam_fixed = np.zeros(n_cams, bool)
+        cam_fixed[0] = True
+        sharded, _, _ = shard_problem(
+            sc.K4, sc.cam_idx, sc.pt_idx, sc.uv, sc.sigma2, sc.valid,
+            cam_fixed, sc.points_init, d,
+        )
+        mesh = Mesh(np.array(devs[:d]), (AXIS,))
+        cfg = LMConfig(max_iters=lm_iters, solver="pcg", pcg_iters=pcg_iters)
+
+        def run():
+            cams, pts, info = sharded_ba_solve(sharded, sc.extr_init, cfg, mesh)
+            np.asarray(cams)
+            return info
+
+        run()  # compile
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        results.append(
+            {
+                "devices": d,
+                "landmarks": L,
+                "iters_per_s": lm_iters / best,
+                "wall_s": best,
+            }
+        )
+
+    base = results[0]["iters_per_s"]
+    for r in results:
+        if weak:
+            # weak scaling: constant iters/s per device is 100%
+            r["efficiency"] = r["iters_per_s"] / base
+        else:
+            r["efficiency"] = r["iters_per_s"] / (base * r["devices"])
+    return {
+        "mode": "weak" if weak else "strong",
+        "device_counts": device_counts,
+        "results": results,
+    }
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(measure_scaling(), indent=2))

@@ -46,6 +46,10 @@ class PipelineConfig:
 
     # tracking / keyframes
     keyframe_ratio: float = 0.1  # BundleAdjustment.cpp:161
+    track_local_map: bool = True  # guided map-point projection matching after
+    #   the first motion-only pass (beyond the reference: its tracking only
+    #   associates through last-frame matches, which drifts on fast motion)
+    track_window_px: float = 12.0  # projection search radius (level-0 px)
     tracking_fail_ratio: float = 1e-4  # BundleAdjustment.cpp:157-160
     min_track_points: int = 10
     max_track_obs: int = 512  # padded 2D-3D capacity for motion-only BA

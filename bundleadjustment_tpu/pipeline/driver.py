@@ -636,6 +636,70 @@ class BundleAdjustmentPipeline:
     # per-frame tracking
     # ------------------------------------------------------------------
 
+    def _track_local_map(self, feats, extr, assoc_pt, assoc_kp):
+        """Guided matching against the projected map (track-local-map).
+
+        Projects active landmarks into the current pose estimate, matches
+        their representative descriptors to still-unassociated keypoints
+        within a pixel window, and returns the enlarged association set.
+        """
+        m = self.map
+        cfg = self.cfg
+        cand = m.active_points()
+        if len(cand) == 0:
+            return assoc_pt, assoc_kp
+        X = m.pt_pos[cand].astype(np.float64)
+        R = np_se3.aa_to_R(extr[:3])
+        xc = X @ R.T + extr[3:]
+        z = xc[:, 2]
+        zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        K = self.K4
+        u = K[0] * xc[:, 0] / zs + K[2]
+        v = K[1] * xc[:, 1] / zs + K[3]
+        margin = cfg.track_window_px
+        vis = (z > 0.05) & (u >= -margin) & (u < self.width + margin) & \
+              (v >= -margin) & (v < self.height + margin)
+        already = set(int(p) for p in assoc_pt)
+        vis &= np.array([int(p) not in already for p in cand])
+        cand = cand[vis]
+        if len(cand) == 0:
+            return assoc_pt, assoc_kp
+        uv_pred = np.stack([u[vis], v[vis]], -1)
+
+        kp_free = feats.valid.copy()
+        kp_free[assoc_kp] = False
+        # pad candidates to a power-of-two bucket for stable jit shapes
+        n_cand = len(cand)
+        nb = 64
+        while nb < n_cand:
+            nb *= 2
+        desc_pad = np.zeros((nb, m.desc_words), np.uint32)
+        desc_pad[:n_cand] = m.pt_desc[cand]
+        valid_a = np.zeros(nb, bool)
+        valid_a[:n_cand] = True
+        idx, dist = match_descriptors_jit(
+            jnp.asarray(desc_pad),
+            jnp.asarray(feats.desc),
+            valid_a=jnp.asarray(valid_a),
+            valid_b=jnp.asarray(kp_free),
+            metric="hamming",
+            ratio=0.9,
+            max_dist=cfg.search_max_dist,
+        )
+        idx = np.asarray(idx)[:n_cand]
+        hit = idx >= 0
+        if not hit.any():
+            return assoc_pt, assoc_kp
+        # window gate: predicted projection near the matched keypoint
+        d_px = np.linalg.norm(feats.xy[idx[hit]] - uv_pred[hit], axis=1)
+        keep = d_px < cfg.track_window_px
+        new_pt = cand[hit][keep]
+        new_kp = idx[hit][keep]
+        return (
+            np.concatenate([assoc_pt, new_pt.astype(np.int64)]),
+            np.concatenate([assoc_kp, new_kp.astype(np.int64)]),
+        )
+
     def _predict_extr(self):
         """Constant-velocity model (reference SfMHelper.cpp:894-972)."""
         if self.prev_extr is None:
@@ -769,6 +833,20 @@ class BundleAdjustmentPipeline:
 
         pred_extr = self._predict_extr()
         extr, inl = self._estimate_pose(feats, assoc_pt, assoc_kp, pred_extr, matches)
+
+        # second pass: guided matching against the projected local map, then
+        # re-estimate (track-local-map; beyond the reference's last-frame-only
+        # association — see PipelineConfig.track_local_map)
+        if cfg.track_local_map and cfg.estimation in ("ba", "pnp"):
+            assoc_pt2, assoc_kp2 = self._track_local_map(feats, extr, assoc_pt, assoc_kp)
+            if len(assoc_pt2) > len(assoc_pt):
+                extr2, inl2 = self._estimate_pose(
+                    feats, assoc_pt2, assoc_kp2, extr, matches
+                )
+                if inl2.sum() >= inl.sum():
+                    extr, inl = extr2, inl2
+                    assoc_pt, assoc_kp = assoc_pt2, assoc_kp2
+
         m.set_pose(slot, extr)
 
         # write inlier associations into the map
