@@ -1,0 +1,77 @@
+"""Large-scale BA benchmark: 100k landmarks on one chip (BASELINE config 5's
+problem size, single-device; the distributed variant shards the same layout).
+
+Not run by the round driver (bench.py is the headline); numbers land in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_CAMS = 128
+N_PTS = 100_000
+OBS_PER_PT = 6
+LM_ITERS = 5
+PCG_ITERS = 40
+MAX_OBS = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bundleadjustment_tpu.data.synthetic import make_synthetic_scene
+    from bundleadjustment_tpu.solvers import LMConfig
+    from bundleadjustment_tpu.solvers.dense_ba import dense_ba_solve, densify_problem
+
+    sc = make_synthetic_scene(
+        n_cams=N_CAMS, n_pts=N_PTS, obs_per_pt=OBS_PER_PT, pixel_noise=0.5, seed=0
+    )
+    cam_fixed = np.zeros(N_CAMS, bool)
+    cam_fixed[0] = True
+    dense, dropped = densify_problem(
+        sc.K4, sc.cam_idx, sc.pt_idx, sc.uv, sc.sigma2, sc.valid, cam_fixed,
+        N_PTS, max_obs=MAX_OBS,
+    )
+    n_obs = int(np.asarray(dense.valid).sum())
+    cfg = LMConfig(max_iters=LM_ITERS, solver="pcg", pcg_iters=PCG_ITERS)
+
+    def run():
+        cams, pts, info = dense_ba_solve(
+            dense, jnp.asarray(sc.extr_init), jnp.asarray(sc.points_init), cfg
+        )
+        np.asarray(cams)
+        np.asarray(pts)
+        return info
+
+    info = run()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "ba_iterations_per_s_100k",
+                "value": round(LM_ITERS / best, 3),
+                "unit": "iter/s",
+                "device": str(jax.devices()[0]),
+                "n_cams": N_CAMS,
+                "n_landmarks": N_PTS,
+                "n_obs": n_obs,
+                "pcg_iters": PCG_ITERS,
+                "cost_reduction": round(
+                    float(info["cost0"]) / max(float(info["cost"]), 1e-12), 1
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -140,6 +140,35 @@ match_descriptors_jit = functools.partial(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("metric", "ratio", "max_dist", "cross_check")
+)
+def match_descriptors_batch(
+    desc_a,
+    descs_b,
+    valid_a=None,
+    valids_b=None,
+    metric="hamming",
+    ratio=DEFAULT_RATIO,
+    max_dist=None,
+    cross_check=True,
+):
+    """Match ONE query set against a BATCH of train sets in one dispatch.
+
+    desc_a: [M1, D]; descs_b: [B, M2, D]; valids_b: [B, M2].
+    Returns (idx [B, M1], dist [B, M1]).  Used by the keyframe neighborhood
+    search (reference SfMHelper.cpp:203-496 re-matches against ~25 neighbor
+    frames — one vmapped call instead of 25 dispatches).
+    """
+    def one(db, vb):
+        return match_descriptors(
+            desc_a, db, valid_a=valid_a, valid_b=vb, metric=metric,
+            ratio=ratio, max_dist=max_dist, cross_check=cross_check,
+        )
+
+    return jax.vmap(one)(descs_b, valids_b)
+
+
+@functools.partial(
     jax.jit, static_argnames=("ratio", "max_dist", "cross_check", "interpret")
 )
 def match_descriptors_fused(

@@ -588,8 +588,36 @@ class BundleAdjustmentPipeline:
                     neighborhood.append(int(nb2))
                     seen.add(int(nb2))
 
+        if not neighborhood:
+            return {"fused": 0, "transferred": 0, "triangulated": 0}
+
+        # ONE batched matching dispatch over all neighbors (padded to a
+        # power-of-two neighbor count for stable jit shapes)
+        from bundleadjustment_tpu.ops.matching import match_descriptors_batch
+
+        n_nb = len(neighborhood)
+        nb_bucket = 4
+        while nb_bucket < n_nb:
+            nb_bucket *= 2
+        descs_b = np.zeros((nb_bucket, m.max_kp, m.desc_words), np.uint32)
+        valids_b = np.zeros((nb_bucket, m.max_kp), bool)
+        for bi, nb in enumerate(neighborhood):
+            descs_b[bi] = m.kp_desc[nb]
+            valids_b[bi, : m.kf_nkp[nb]] = True
+        with self.timers.phase("match"):
+            idx_all, dist_all = match_descriptors_batch(
+                jnp.asarray(feats.desc),
+                jnp.asarray(descs_b),
+                valid_a=jnp.asarray(feats.valid),
+                valids_b=jnp.asarray(valids_b),
+                metric="hamming",
+                ratio=self.cfg.match_ratio,
+                max_dist=self.cfg.search_max_dist,
+            )
+            idx_all = np.asarray(idx_all)
+
         n_fused = n_transfer = n_tri = 0
-        for nb in neighborhood:
+        for bi, nb in enumerate(neighborhood):
             nf = FrameFeatures(
                 xy=m.kp_xy[nb, : m.kf_nkp[nb]],
                 octave=m.kp_octave[nb, : m.kf_nkp[nb]],
@@ -597,7 +625,7 @@ class BundleAdjustmentPipeline:
                 desc=m.kp_desc[nb, : m.kf_nkp[nb]],
                 valid=np.ones(m.kf_nkp[nb], bool),
             )
-            idx, dist = self.match(feats, nf, max_dist=self.cfg.search_max_dist)
+            idx = idx_all[bi]
             kp_cur = np.nonzero(idx >= 0)[0]
             kp_nb = idx[kp_cur]
             pt_cur = m.kp_pt[kf, kp_cur]
