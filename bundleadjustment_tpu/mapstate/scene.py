@@ -256,6 +256,23 @@ class SceneMap:
         )
         return out[: min(n, cap)].copy()
 
+    def window_closure(self, kf_slots, obs_cap=4096, pt_cap=262144):
+        """(observer_kfs, tracked_pts) for a keyframe window — the local-BA
+        fixed-camera closure (reference Optimizer.cpp:500-546) in one native
+        pass."""
+        kf_sel = np.ascontiguousarray(kf_slots, np.int32)
+        obs = np.empty(obs_cap, np.int32)
+        pts = np.empty(pt_cap, np.int32)
+        cnt = ctypes.c_int32(0)
+        P = ctypes.POINTER
+        n_obs = self._lib.map_window_closure(
+            self._h, kf_sel.ctypes.data_as(P(ctypes.c_int32)), len(kf_sel),
+            obs.ctypes.data_as(P(ctypes.c_int32)), obs_cap,
+            pts.ctypes.data_as(P(ctypes.c_int32)), pt_cap,
+            ctypes.byref(cnt),
+        )
+        return obs[: min(n_obs, obs_cap)].copy(), pts[: min(cnt.value, pt_cap)].copy()
+
     # -- queries -----------------------------------------------------------
 
     def active_keyframes(self):

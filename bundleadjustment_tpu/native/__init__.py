@@ -89,6 +89,10 @@ def _declare(lib):
             [ctypes.c_void_p, c_i32, P(c_i32), P(c_i32), c_i32],
             c_i32,
         ),
+        "map_window_closure": (
+            [ctypes.c_void_p, P(c_i32), c_i32, P(c_i32), c_i32, P(c_i32), c_i32, P(c_i32)],
+            c_i32,
+        ),
         "map_pt_pos_ptr": ([ctypes.c_void_p], P(c_f32)),
         "map_pt_active_ptr": ([ctypes.c_void_p], P(c_u8)),
         "map_kf_pose_ptr": ([ctypes.c_void_p], P(c_f64)),

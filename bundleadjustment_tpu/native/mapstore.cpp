@@ -445,6 +445,46 @@ uint32_t* map_pt_desc_ptr(MapStore* m) { return m->pt_desc.data(); }
 int32_t* map_kf_nkp_ptr(MapStore* m) { return m->kf_nkp.data(); }
 int32_t* map_pt_first_kf_ptr(MapStore* m) { return m->pt_first_kf.data(); }
 
+// Collect the distinct landmarks tracked by a keyframe set and the distinct
+// OTHER keyframes observing any of them — the local-BA window closure
+// (reference Optimizer.cpp:500-546) in one native pass instead of per-point
+// Python round trips.  Returns observer count; pt_out gets the tracked
+// landmark ids (count via pt_count).
+int32_t map_window_closure(const MapStore* m, const int32_t* kf_sel,
+                           int32_t n_kf, int32_t* obs_kf_out, int32_t obs_cap,
+                           int32_t* pt_out, int32_t pt_cap,
+                           int32_t* pt_count) {
+  std::vector<uint8_t> in_window(m->n_kf_slots, 0);
+  for (int32_t i = 0; i < n_kf; ++i) {
+    int32_t kf = kf_sel[i];
+    if (kf >= 0 && kf < m->n_kf_slots) in_window[kf] = 1;
+  }
+  std::vector<uint8_t> pt_seen(m->n_pt_slots, 0);
+  std::vector<uint8_t> obs_seen(m->n_kf_slots, 0);
+  int32_t n_pts = 0, n_obs = 0;
+  for (int32_t i = 0; i < n_kf; ++i) {
+    int32_t kf = kf_sel[i];
+    if (kf < 0 || kf >= m->n_kf_slots || !m->kf_active[kf]) continue;
+    size_t b = m->kp_base(kf);
+    for (int32_t kp = 0; kp < m->kf_nkp[kf]; ++kp) {
+      int32_t pt = m->kp_pt[b + kp];
+      if (pt < 0 || !m->pt_active[pt] || pt_seen[pt]) continue;
+      pt_seen[pt] = 1;
+      if (n_pts < pt_cap) pt_out[n_pts] = pt;
+      ++n_pts;
+      for (auto& o : m->pt_obs[pt]) {
+        if (in_window[o.kf] || obs_seen[o.kf]) continue;
+        if (!m->kf_active[o.kf] || !m->kf_is_keyframe[o.kf]) continue;
+        obs_seen[o.kf] = 1;
+        if (n_obs < obs_cap) obs_kf_out[n_obs] = o.kf;
+        ++n_obs;
+      }
+    }
+  }
+  if (pt_count) *pt_count = n_pts;
+  return n_obs;
+}
+
 // Export per-point observation lists for one point (for descriptor refresh /
 // viewing-direction updates done by the Python layer).
 int32_t map_point_observations(const MapStore* m, int32_t pt, int32_t* kf_out,

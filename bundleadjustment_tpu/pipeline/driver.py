@@ -278,19 +278,10 @@ class BundleAdjustmentPipeline:
         as fixed cameras (reference Optimizer.cpp:500-546)."""
         nbrs, _ = self.map.best_covisible(center_kf, self.cfg.local_window)
         window = [center_kf] + [int(k) for k in nbrs]
-        # fixed observers: keyframes observing window points but outside window
-        window_set = set(window)
-        pts = set()
-        for kf in window:
-            for pt in self.map.kp_pt[kf, : self.map.kf_nkp[kf]]:
-                if pt >= 0:
-                    pts.add(int(pt))
-        fixed_extra = set()
-        for pt in pts:
-            kfs, _ = self.map.point_observations(pt)
-            for k in kfs:
-                if int(k) not in window_set and self.map.kf_is_keyframe[int(k)]:
-                    fixed_extra.add(int(k))
+        # fixed observers: keyframes observing window points but outside the
+        # window (one native pass, Optimizer.cpp:500-546 analogue)
+        fixed_extra, _pts = self.map.window_closure(window)
+        fixed_extra = set(int(k) for k in fixed_extra)
         fixed_mask = np.zeros(len(window), bool)
         # gauge: fix the earliest keyframe in the window (reference pins
         # frame 0 when present; otherwise fixed observers anchor the gauge)
