@@ -83,6 +83,25 @@ def test_descriptors_match_under_translation(rng):
     np.testing.assert_allclose(med, [dx, dy], atol=1.5)
 
 
+def test_alternative_detectors(rng):
+    """harris / shi_tomasi paths (reference FeatureProcessor.cpp:118-211) —
+    unlike the reference, ours still produce matchable descriptors."""
+    img = textured_image(rng)
+    for det in ("harris", "shi_tomasi"):
+        cfg = FeatureConfig(n_features=200, n_levels=2, detector=det)
+        f = detect_and_describe(jnp.asarray(img), cfg)
+        v = np.asarray(f.valid)
+        assert v.sum() > 30, det
+        idx, _ = match_descriptors(
+            f.desc, f.desc, valid_a=f.valid, valid_b=f.valid,
+            metric="hamming", ratio=0.9, cross_check=False,
+        )
+        idx = np.asarray(idx)
+        # self-matching maps each valid keypoint to itself
+        sel = np.nonzero(v)[0]
+        assert (idx[sel] == sel).mean() > 0.95, det
+
+
 def test_detect_batch_jit_consistency(rng):
     img = textured_image(rng)
     cfg = FeatureConfig(n_features=200, n_levels=3)
