@@ -801,29 +801,40 @@ class BundleAdjustmentPipeline:
                 return "ref"
             matches, dists = self.match(self.ref_feats, feats)
             n_matches = int((matches >= 0).sum())
-            if n_matches > cfg.min_init_matches:
-                if cfg.init_type == "gtdepth":
-                    ok = self._init_gtdepth(slot, feats, self._ref_depth, matches, dists)
-                else:
-                    ok = self._init_standard(slot, feats, matches, dists)
-                if ok:
-                    self.initialized = True
-                    self.last_slot = slot
-                    self.last_feats = feats
-                    self.last_extr = m.kf_pose[slot].copy()
-                    self.prev_extr = m.kf_pose[self.ref_slot].copy()
-                    self.trajectory.append(
-                        TrackRecord(m.kf_timestamp[self.ref_slot], self.ref_slot,
-                                    m.kf_pose[self.ref_slot].copy(), True)
-                    )
-                    self.trajectory.append(
-                        TrackRecord(frame.timestamp, slot, self.last_extr.copy(), True)
-                    )
-                    self.stats["keyframes"] += 2
-                    return "initialized"
+            if n_matches <= cfg.min_init_matches:
+                # too few matches: keep the reference, skip this frame
+                # (reference only resets after a FAILED initialization
+                # attempt, BundleAdjustment.cpp:96-109)
+                m.erase_frame(slot)
+                return "await-init"
+            if cfg.init_type == "gtdepth":
+                ok = self._init_gtdepth(slot, feats, self._ref_depth, matches, dists)
+            else:
+                ok = self._init_standard(slot, feats, matches, dists)
+            if ok:
+                self.initialized = True
+                self.last_slot = slot
+                self.last_feats = feats
+                self.last_extr = m.kf_pose[slot].copy()
+                self.prev_extr = m.kf_pose[self.ref_slot].copy()
+                self.trajectory.append(
+                    TrackRecord(m.kf_timestamp[self.ref_slot], self.ref_slot,
+                                m.kf_pose[self.ref_slot].copy(), True)
+                )
+                self.trajectory.append(
+                    TrackRecord(frame.timestamp, slot, self.last_extr.copy(), True)
+                )
+                self.stats["keyframes"] += 2
+                return "initialized"
             # failed bootstrap: reset with current as reference
             # (reference BundleAdjustment.cpp:104-109)
             m.erase_frame(self.ref_slot)
+            # drop landmarks orphaned by the failed attempt (gtdepth creates
+            # points before it can fail; standard may create some before the
+            # created-count check)
+            for pt in m.active_points():
+                if m.point_obs_count(int(pt)) == 0:
+                    m.erase_point(int(pt))
             self.ref_slot = slot
             self.ref_feats = feats
             self._ref_depth = frame.depth
