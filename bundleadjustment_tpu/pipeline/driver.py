@@ -476,6 +476,22 @@ class BundleAdjustmentPipeline:
             pair_a, pair_b = pair_a[free], pair_b[free]
         if len(pair_a) == 0:
             return 0
+
+        # precondition: baseline / median-scene-depth >= 0.01 (reference
+        # SfMHelper.cpp:763-771) — tiny-baseline pairs triangulate garbage
+        tracked = m.kp_pt[slot_b, : m.kf_nkp[slot_b]]
+        tracked = tracked[tracked >= 0]
+        if len(tracked) >= 5:
+            extr_b = m.kf_pose[slot_b]
+            R_b = np_se3.aa_to_R(extr_b[:3])
+            z = m.pt_pos[tracked].astype(np.float64) @ R_b[2] + extr_b[5]
+            med_depth = float(np.median(z[z > 0])) if (z > 0).any() else np.inf
+            baseline = np.linalg.norm(
+                np_se3.rt6_inverse(m.kf_pose[slot_a])[3:]
+                - np_se3.rt6_inverse(extr_b)[3:]
+            )
+            if np.isfinite(med_depth) and baseline / max(med_depth, 1e-9) < 0.01:
+                return 0
         pts, ok = triangulate_gated(
             jnp.asarray(self.K4),
             jnp.asarray(m.kf_pose[slot_a].astype(np.float32)),
