@@ -220,33 +220,53 @@ def dense_ba_solve(prob: DenseBAProblem, cam_rt6, points, config=LMConfig()):
         red = jnp.einsum("lok,loij,lj->ki", oh, W, zv)
         b = -(g_c - red)
 
-        Minv = jnp.linalg.inv(U)
+        if config.solver == "dense":
+            # exact DENSE_SCHUR: factorize V^-1 = C C^T (Cholesky), form
+            # P[l,k,i,m] = sum_o oh[l,o,k] (W[l,o] @ C[l])[i,m]; then
+            # S = U - sum_l P_l P_l^T — one MXU-shaped contraction instead
+            # of pcg_iters sequential matvecs.  Right for K up to a few
+            # hundred cameras (the Ceres DENSE_SCHUR regime).
+            C = jnp.linalg.cholesky(V_inv)  # [L,3,3]
+            G = jnp.einsum("loij,ljm->loim", W, C)  # [L,O,6,3]
+            Pf = jnp.einsum("lok,loim->lkim", oh, G)  # [L,K,6,3]
+            S_minus = jnp.einsum("lkim,lnjm->kinj", Pf, Pf)  # [K,6,K,6]
+            Kn = U.shape[0]
+            S_full = -S_minus
+            S_full = S_full.at[jnp.arange(Kn), :, jnp.arange(Kn), :].add(U)
+            S_mat = S_full.reshape(Kn * 6, Kn * 6)
+            S_mat = S_mat + 1e-8 * jnp.eye(Kn * 6, dtype=S_mat.dtype)
+            dc = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(S_mat), b.reshape(-1)
+            ).reshape(Kn, 6)
+        else:
+            Minv = jnp.linalg.inv(U)
 
-        def matvec(x):
-            xg = jnp.einsum("lok,ki->loi", oh, x)
-            y = jnp.einsum("loij,loi->lj", W, xg)
-            zz = jnp.einsum("lij,lj->li", V_inv, y)
-            back = jnp.einsum("lok,loij,lj->ki", oh, W, zz)
-            Ux = jnp.einsum("kij,kj->ki", U, x)
-            return Ux - back
+            def matvec(x):
+                xg = jnp.einsum("lok,ki->loi", oh, x)
+                y = jnp.einsum("loij,loi->lj", W, xg)
+                zz = jnp.einsum("lij,lj->li", V_inv, y)
+                back = jnp.einsum("lok,loij,lj->ki", oh, W, zz)
+                Ux = jnp.einsum("kij,kj->ki", U, x)
+                return Ux - back
 
-        def cg_body(s, _):
-            x, rr, p, rz = s
-            Sp = matvec(p)
-            pSp = jnp.sum(p * Sp)
-            alpha = rz / jnp.where(jnp.abs(pSp) < 1e-30, 1e-30, pSp)
-            x = x + alpha * p
-            rr = rr - alpha * Sp
-            zp = jnp.einsum("kij,kj->ki", Minv, rr)
-            rz_new = jnp.sum(rr * zp)
-            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
-            return (x, rr, zp + beta * p, rz_new), None
+            def cg_body(s, _):
+                x, rr, p, rz = s
+                Sp = matvec(p)
+                pSp = jnp.sum(p * Sp)
+                alpha = rz / jnp.where(jnp.abs(pSp) < 1e-30, 1e-30, pSp)
+                x = x + alpha * p
+                rr = rr - alpha * Sp
+                zp = jnp.einsum("kij,kj->ki", Minv, rr)
+                rz_new = jnp.sum(rr * zp)
+                beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+                return (x, rr, zp + beta * p, rz_new), None
 
-        x0 = jnp.zeros_like(b)
-        z0 = jnp.einsum("kij,kj->ki", Minv, b)
-        (dc, _, _, _), _ = jax.lax.scan(
-            cg_body, (x0, b, z0, jnp.sum(b * z0)), None, length=config.pcg_iters
-        )
+            x0 = jnp.zeros_like(b)
+            z0 = jnp.einsum("kij,kj->ki", Minv, b)
+            (dc, _, _, _), _ = jax.lax.scan(
+                cg_body, (x0, b, z0, jnp.sum(b * z0)), None,
+                length=config.pcg_iters,
+            )
 
         # back-substitution (fully local per landmark)
         xg = jnp.einsum("lok,ki->loi", oh, dc)
