@@ -108,6 +108,11 @@ class TrackRecord:
     slot: int
     extr: np.ndarray  # world->camera rt6 at tracking time
     is_keyframe: bool
+    # inlier 2D-3D associations at tracking time (landmark ids + pixels) —
+    # lets `finalize` re-track non-keyframes against the BA-refined map
+    assoc_pt: np.ndarray | None = None
+    assoc_uv: np.ndarray | None = None
+    assoc_sig: np.ndarray | None = None
 
 
 class BundleAdjustmentPipeline:
@@ -697,10 +702,16 @@ class BundleAdjustmentPipeline:
         vis = (z > 0.05) & (u >= -margin) & (u < self.width + margin) & \
               (v >= -margin) & (v < self.height + margin)
         vis &= ~np.isin(cand, assoc_pt)
-        cand = cand[vis]
+        cand_vis = cand[vis]
+        uv_vis = np.stack([u[vis], v[vis]], -1)
+        # same BA-constrainability gate as the primary association path
+        well = np.array(
+            [m.point_obs_count(int(p)) >= 2 for p in cand_vis], bool
+        ) if len(cand_vis) else np.zeros(0, bool)
+        cand = cand_vis[well]
         if len(cand) == 0:
             return assoc_pt, assoc_kp
-        uv_pred = np.stack([u[vis], v[vis]], -1)
+        uv_pred = uv_vis[well]
 
         kp_free = feats.valid.copy()
         kp_free[assoc_kp] = False
@@ -870,6 +881,14 @@ class BundleAdjustmentPipeline:
         has_pt = (lp >= 0) & (dists[pair_last] < cfg.assoc_max_dist)
         assoc_pt = lp[has_pt].astype(np.int64)
         assoc_kp = pair_cur[has_pt].astype(np.int64)
+        # only track against landmarks that bundle adjustment can constrain:
+        # 1-observation points (partner frame erased before a second view
+        # confirmed them) are never BA-refined and poison motion-only BA
+        well_obs = np.array(
+            [m.point_obs_count(int(p)) >= 2 for p in assoc_pt], bool
+        ) if len(assoc_pt) else np.zeros(0, bool)
+        assoc_pt = assoc_pt[well_obs]
+        assoc_kp = assoc_kp[well_obs]
 
         # the keyframe/failure ratio is the *association* ratio, computed
         # before pose estimation (reference BundleAdjustment.cpp:129-161)
@@ -900,7 +919,15 @@ class BundleAdjustmentPipeline:
         for i in np.nonzero(inl)[0]:
             m.add_observation(int(assoc_pt[i]), slot, int(assoc_kp[i]))
 
-        self.trajectory.append(TrackRecord(frame.timestamp, slot, extr.copy(), False))
+        inl_idx = np.nonzero(inl)[0]
+        self.trajectory.append(
+            TrackRecord(
+                frame.timestamp, slot, extr.copy(), False,
+                assoc_pt=assoc_pt[inl_idx].copy(),
+                assoc_uv=feats.xy[assoc_kp[inl_idx]].copy(),
+                assoc_sig=feats.sigma2[assoc_kp[inl_idx]].copy(),
+            )
+        )
 
         is_keyframe = assoc_ratio <= cfg.keyframe_ratio
         if is_keyframe:
@@ -938,9 +965,85 @@ class BundleAdjustmentPipeline:
 
     def finalize(self):
         """Final global BA (3 outer rounds) — reference
-        BundleAdjustment.cpp:228-233."""
+        BundleAdjustment.cpp:228-233 — plus a non-keyframe trajectory
+        refinement pass the reference lacks: every tracked (non-key) frame is
+        re-solved by batched motion-only BA against the BA-refined landmarks
+        using its stored 2D-3D associations."""
         for _ in range(self.cfg.final_ba_outer):
             self.global_ba(self.cfg.final_ba_iters)
+        self._refine_trajectory()
+
+    def _refine_trajectory(self):
+        m = self.map
+        # a 2-keyframe (especially planar) map has BA gauge ambiguities that
+        # the final solve can wander along; re-tracking non-keyframes against
+        # such a map follows the wander.  Only refine against maps with
+        # enough keyframes to be well-constrained.
+        if len(m.active_keyframes()) < 3:
+            return
+        recs = [
+            r for r in self.trajectory
+            if not r.is_keyframe and r.assoc_pt is not None and len(r.assoc_pt) >= self.cfg.min_track_points
+        ]
+        if not recs:
+            return
+        M = self.cfg.max_track_obs
+        B = len(recs)
+        P = np.zeros((B, M, 3), np.float32)
+        U = np.zeros((B, M, 2), np.float32)
+        S = np.ones((B, M), np.float32)
+        V = np.zeros((B, M), bool)
+        E0 = np.zeros((B, 6), np.float32)
+        for b, rec in enumerate(recs):
+            live = m.pt_active[rec.assoc_pt] == 1
+            n = min(int(live.sum()), M)
+            ids = rec.assoc_pt[live][:n]
+            P[b, :n] = m.pt_pos[ids]
+            U[b, :n] = rec.assoc_uv[live][:n]
+            S[b, :n] = rec.assoc_sig[live][:n]
+            V[b, :n] = True
+            E0[b] = rec.extr
+        # pad batch to a bucket for stable jit shapes
+        Bb = 8
+        while Bb < B:
+            Bb *= 2
+        pad = Bb - B
+        if pad:
+            P = np.concatenate([P, np.zeros((pad, M, 3), np.float32)])
+            U = np.concatenate([U, np.zeros((pad, M, 2), np.float32)])
+            S = np.concatenate([S, np.ones((pad, M), np.float32)])
+            V = np.concatenate([V, np.zeros((pad, M), bool)])
+            E0 = np.concatenate([E0, np.zeros((pad, 6), np.float32)])
+        cfg = MotionOnlyConfig(
+            outer_iters=self.cfg.motion_outer, inner_iters=self.cfg.motion_inner
+        )
+        rt, inl = motion_only_ba(
+            jnp.asarray(self.K4), jnp.asarray(E0), jnp.asarray(P),
+            jnp.asarray(U), jnp.asarray(S), jnp.asarray(V), cfg,
+        )
+        rt = np.asarray(rt, np.float64)
+        inl = np.asarray(inl)
+
+        def huber_cost(extr, b):
+            R = np_se3.aa_to_R(extr[:3])
+            xc = P[b] @ R.T + extr[3:]
+            z = np.where(np.abs(xc[:, 2]) < 1e-9, 1e-9, xc[:, 2])
+            u = self.K4[0] * xc[:, 0] / z + self.K4[2]
+            v = self.K4[1] * xc[:, 1] / z + self.K4[3]
+            r2 = ((u - U[b, :, 0]) ** 2 + (v - U[b, :, 1]) ** 2) / np.maximum(S[b], 1e-12)
+            d = 2.4477
+            nrm = np.sqrt(np.maximum(r2, 1e-20))
+            rho = np.where(nrm <= d, 0.5 * r2, d * (nrm - 0.5 * d))
+            rho = np.where(xc[:, 2] > 1e-6, rho, 1e4)
+            return float(np.sum(np.where(V[b], rho, 0.0)))
+
+        for b, rec in enumerate(recs):
+            # accept the re-solve only if it has enough inliers AND actually
+            # lowers the robust cost on the same constraints — the original
+            # tracked pose is already a local optimum of a similar problem
+            if inl[b].sum() >= self.cfg.min_track_points:
+                if huber_cost(rt[b], b) < huber_cost(rec.extr, b):
+                    rec.extr = rt[b]
 
     # ------------------------------------------------------------------
     # outputs

@@ -195,13 +195,22 @@ def dense_ba_solve(prob: DenseBAProblem, cam_rt6, points, config=LMConfig()):
     eye6 = jnp.eye(6, dtype=cam_rt6.dtype)
     eye3 = jnp.eye(3, dtype=cam_rt6.dtype)
 
+    if config.mxu_bf16:
+        oh_c = oh.astype(jnp.bfloat16)
+        cast = lambda x: x.astype(jnp.bfloat16)
+        ein = partial(jnp.einsum, preferred_element_type=jnp.float32)
+    else:
+        oh_c = oh
+        cast = lambda x: x
+        ein = jnp.einsum
+
     def step(state, _):
         R, t, X, lam, nu, cost, done = state
         r, Jc, Jp, _z = _residuals_jacobians(prob, oh, R, t, X, config.robust)
 
         Uc = jnp.einsum("lori,lorj->loij", Jc, Jc)
-        U = jnp.einsum("lok,loij->kij", oh, Uc)
-        g_c = jnp.einsum("lok,lori,lor->ki", oh, Jc, r)
+        U = ein("lok,loij->kij", oh_c, cast(Uc))
+        g_c = ein("lok,lori,lor->ki", oh_c, cast(Jc), cast(r))
         V = jnp.einsum("lori,lorj->lij", Jp, Jp)
         g_p = jnp.einsum("lori,lor->li", Jp, r)
         W = jnp.einsum("lori,lorj->loij", Jc, Jp)
@@ -215,9 +224,11 @@ def dense_ba_solve(prob: DenseBAProblem, cam_rt6, points, config=LMConfig()):
         g_c = jnp.where(prob.cam_fixed[:, None], 0.0, g_c)
         V_inv = _sym3_inv(V)
 
+        W_c = cast(W)
+
         # Schur RHS
         zv = jnp.einsum("lij,lj->li", V_inv, g_p)
-        red = jnp.einsum("lok,loij,lj->ki", oh, W, zv)
+        red = ein("lok,loij,lj->ki", oh_c, W_c, cast(zv))
         b = -(g_c - red)
 
         if config.solver == "dense":
@@ -242,10 +253,10 @@ def dense_ba_solve(prob: DenseBAProblem, cam_rt6, points, config=LMConfig()):
             Minv = jnp.linalg.inv(U)
 
             def matvec(x):
-                xg = jnp.einsum("lok,ki->loi", oh, x)
+                xg = ein("lok,ki->loi", oh_c, cast(x))
                 y = jnp.einsum("loij,loi->lj", W, xg)
                 zz = jnp.einsum("lij,lj->li", V_inv, y)
-                back = jnp.einsum("lok,loij,lj->ki", oh, W, zz)
+                back = ein("lok,loij,lj->ki", oh_c, W_c, cast(zz))
                 Ux = jnp.einsum("kij,kj->ki", U, x)
                 return Ux - back
 

@@ -39,6 +39,10 @@ class LMConfig(NamedTuple):
     pcg_tol: float = 1e-6
     robust: bool = True
     rtol: float = 1e-9  # relative cost-decrease tolerance for early freeze
+    mxu_bf16: bool = False  # dense layout only: run the one-hot camera-side
+    #   contractions in bf16 (f32 accumulation) for MXU-native rate; the
+    #   normal equations lose ~8 mantissa bits — fine for the GN direction,
+    #   gate on accuracy tests before enabling by default
 
 
 # Fixed cost charged to an observation whose point sits behind the camera.

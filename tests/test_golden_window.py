@@ -1,0 +1,37 @@
+"""Golden-trajectory test at fr1 scale (BASELINE.json config 1 stand-in).
+
+640x480, fx = 525 — the TUM Freiburg-1 camera geometry — over a 25-frame,
+~3 m window with keyframe mapping active.  Bound set from the measured
+0.0014 ATE after the 1-observation-landmark tracking gate (sub-mm..mm
+regime; the bound leaves ~5x headroom)."""
+
+import numpy as np
+import pytest
+
+from bundleadjustment_tpu.data.synthetic import render_plane_sequence
+from bundleadjustment_tpu.metrics import evaluate_ate
+from bundleadjustment_tpu.pipeline import BundleAdjustmentPipeline, PipelineConfig
+from tests.test_pipeline import frames_to_framedata
+
+
+@pytest.mark.slow
+def test_fr1_scale_golden_window():
+    frames, K4 = render_plane_sequence(
+        n_frames=25, width=640, height=480, fx=525.0, fy=525.0,
+        motion_step=0.12, plane_z=4.0,
+    )
+    ds = frames_to_framedata(frames)
+    cfg = PipelineConfig(
+        init_type="gtdepth", estimation="ba", n_features=600, n_levels=4,
+        local_ba=True, final_ba_outer=2, final_ba_iters=15,
+        keyframe_ratio=0.3,
+    )
+    pipe = BundleAdjustmentPipeline(cfg, K4, 640, 480)
+    pipe.run(ds)
+    ts, mats = pipe.trajectory_cam_to_world()
+    assert len(ts) == 25
+    gt_ts = np.array([f["timestamp"] for f in frames])
+    gt_xyz = np.array([f["gt_cam_to_world"][:3, 3] for f in frames])
+    res = evaluate_ate(ts, mats[:, :3, 3], gt_ts, gt_xyz)
+    assert res["rmse"] < 0.008, res
+    assert pipe.stats["keyframes"] >= 5
