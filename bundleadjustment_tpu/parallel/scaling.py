@@ -28,14 +28,22 @@ def measure_scaling(
     repeats=2,
     weak=False,
     seed=0,
+    layout="dense",
 ):
-    """Returns {"per_device": [...], "efficiency": [...], ...}."""
+    """Returns {"per_device": [...], "efficiency": [...], ...}.
+
+    layout: "dense" (production TPU engine) | "flat" (segment_sum engine).
+    """
     import jax
     from jax.sharding import Mesh
 
     from bundleadjustment_tpu.data.synthetic import make_synthetic_scene
     from bundleadjustment_tpu.parallel import shard_problem, sharded_ba_solve
     from bundleadjustment_tpu.parallel.sharded_ba import AXIS
+    from bundleadjustment_tpu.parallel.sharded_dense_ba import (
+        shard_dense_problem,
+        sharded_dense_ba_solve,
+    )
     from bundleadjustment_tpu.solvers import LMConfig
 
     devs = jax.devices()
@@ -51,17 +59,31 @@ def measure_scaling(
         )
         cam_fixed = np.zeros(n_cams, bool)
         cam_fixed[0] = True
-        sharded, _, _ = shard_problem(
-            sc.K4, sc.cam_idx, sc.pt_idx, sc.uv, sc.sigma2, sc.valid,
-            cam_fixed, sc.points_init, d,
-        )
         mesh = Mesh(np.array(devs[:d]), (AXIS,))
         cfg = LMConfig(max_iters=lm_iters, solver="pcg", pcg_iters=pcg_iters)
 
-        def run():
-            cams, pts, info = sharded_ba_solve(sharded, sc.extr_init, cfg, mesh)
-            np.asarray(cams)
-            return info
+        if layout == "dense":
+            prob, pts_sharded, _, _ = shard_dense_problem(
+                sc.K4, sc.cam_idx, sc.pt_idx, sc.uv, sc.sigma2, sc.valid,
+                cam_fixed, sc.points_init, d,
+            )
+
+            def run():
+                cams, pts, info = sharded_dense_ba_solve(
+                    prob, sc.extr_init, pts_sharded, cfg, mesh
+                )
+                np.asarray(cams)
+                return info
+        else:
+            sharded, _, _ = shard_problem(
+                sc.K4, sc.cam_idx, sc.pt_idx, sc.uv, sc.sigma2, sc.valid,
+                cam_fixed, sc.points_init, d,
+            )
+
+            def run():
+                cams, pts, info = sharded_ba_solve(sharded, sc.extr_init, cfg, mesh)
+                np.asarray(cams)
+                return info
 
         run()  # compile
         best = float("inf")
