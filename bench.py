@@ -1,11 +1,12 @@
 """Headline benchmark: global-BA LM iterations/s per chip.
 
 Builds a synthetic global bundle-adjustment problem at BASELINE.json
-config-4 scale (~10k landmarks), times the jitted dense-layout LM/Schur-PCG
-solve (`solvers/dense_ba.py` — landmark-major blocks + one-hot MXU
-contractions, no scatters) on the default device (the TPU under the driver),
-and compares against the identical computation on the host CPU backend — the
-hardware class the reference's Ceres solver runs on (4 threads,
+config-4 scale (~10k landmarks), times the jitted dense-layout exact
+LM/DENSE_SCHUR solve (`solvers/dense_ba.py` — component-major blocks +
+one-hot MXU contractions + explicit Schur complement, no scatters) on the
+default device (the TPU under the driver), and compares against the
+identical computation on the host CPU backend — the hardware class the
+reference's Ceres solver runs on (4 threads,
 `ba_project/src/ba/Optimizer.cpp:88`).
 
 Prints ONE JSON line:
@@ -62,7 +63,12 @@ def time_solve(device, sc, dense, repeats=3, layout="dense"):
     put = lambda x: jax.device_put(x, device)
     cams0 = put(jnp.asarray(sc.extr_init))
     pts0 = put(jnp.asarray(sc.points_init))
-    config = LMConfig(max_iters=LM_ITERS, solver="pcg", pcg_iters=PCG_ITERS)
+    # dense layout: exact DENSE_SCHUR (explicit S + Cholesky — fastest on
+    # TPU at this camera count); flat layout: matrix-free Schur-PCG
+    if layout == "dense":
+        config = LMConfig(max_iters=LM_ITERS, solver="dense")
+    else:
+        config = LMConfig(max_iters=LM_ITERS, solver="pcg", pcg_iters=PCG_ITERS)
 
     if layout == "dense":
         prob = jax.tree.map(put, dense)
@@ -140,10 +146,10 @@ def main():
                 "n_cams": N_CAMS,
                 "n_landmarks": N_PTS,
                 "n_obs": n_obs,
-                "pcg_iters": PCG_ITERS,
+                "solver": "exact_dense_schur",
                 "cpu_iters_per_s": round(iters_cpu, 3),
                 "cost_reduction": round(cost0 / max(cost, 1e-12), 1),
-                "layout": "dense_landmark_major",
+                "layout": "dense_landmark_major_cm",
             }
         )
     )

@@ -38,7 +38,7 @@ def main():
         N_PTS, max_obs=MAX_OBS,
     )
     n_obs = int(np.asarray(dense.valid).sum())
-    cfg = LMConfig(max_iters=LM_ITERS, solver="pcg", pcg_iters=PCG_ITERS)
+    cfg = LMConfig(max_iters=LM_ITERS, solver="dense")  # exact DENSE_SCHUR
 
     def run():
         cams, pts, info = dense_ba_solve(
@@ -64,7 +64,7 @@ def main():
                 "n_cams": N_CAMS,
                 "n_landmarks": N_PTS,
                 "n_obs": n_obs,
-                "pcg_iters": PCG_ITERS,
+                "solver": "exact_dense_schur",
                 "cost_reduction": round(
                     float(info["cost0"]) / max(float(info["cost"]), 1e-12), 1
                 ),

@@ -25,13 +25,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 from bundleadjustment_tpu.geometry.se3 import aa_to_rotmat, rotmat_to_aa
 from bundleadjustment_tpu.solvers.dense_ba import (
     DenseBAProblem,
-    _cost,
-    _onehot,
-    _residuals_jacobians,
+    _make_step,
+    _to_cm,
     densify_problem,
 )
 from bundleadjustment_tpu.solvers.lm import LMConfig
-from bundleadjustment_tpu.solvers.schur import _sym3_inv
 
 AXIS = "shard"
 
@@ -82,98 +80,28 @@ def shard_dense_problem(K4, cam_idx, pt_idx, uv, sigma2, valid, cam_fixed,
 
 def _shard_body(K4, cam_idx, uv, sigma2, valid, cam_fixed, pt_valid,
                 points0, R0, t0, config: LMConfig):
-    """Whole LM solve for one landmark shard (camera state replicated)."""
+    """Whole LM solve for one landmark shard (camera state replicated).
+
+    Reuses the single-device component-major step (`solvers/dense_ba.py`)
+    with `lax.psum` as the cross-shard reduction hook: the [K,42] block
+    reduction, Schur RHS, PCG matvec back-term, and cost are psummed; all
+    landmark-side state stays device-local.
+    """
     local = DenseBAProblem(
         K4=K4, cam_idx=cam_idx, uv=uv, sigma2=sigma2, valid=valid,
         cam_fixed=cam_fixed, pt_valid=pt_valid,
     )
-    K = R0.shape[0]
-    oh = _onehot(cam_idx, K, points0.dtype)
-    eye6 = jnp.eye(6)
-    eye3 = jnp.eye(3)
-    psum = lambda x: jax.lax.psum(x, AXIS)
+    cm = _to_cm(local)
+    step, cost_of = _make_step(cm, config, psum=lambda x: jax.lax.psum(x, AXIS))
 
-    def cost_of(R, t, X):
-        return psum(_cost(local, oh, R, t, X, config.robust))
-
-    def step(state, _):
-        R, t, X, lam, nu, cost, done = state
-        r, Jc, Jp, _z = _residuals_jacobians(local, oh, R, t, X, config.robust)
-        Uc = jnp.einsum("lori,lorj->loij", Jc, Jc)
-        U = psum(jnp.einsum("lok,loij->kij", oh, Uc))
-        g_c = psum(jnp.einsum("lok,lori,lor->ki", oh, Jc, r))
-        V = jnp.einsum("lori,lorj->lij", Jp, Jp)
-        g_p = jnp.einsum("lori,lor->li", Jp, r)
-        W = jnp.einsum("lori,lorj->loij", Jc, Jp)
-
-        dU = jnp.clip(jnp.diagonal(U, axis1=-2, axis2=-1), 1e-6, None)
-        dV = jnp.clip(jnp.diagonal(V, axis1=-2, axis2=-1), 1e-6, None)
-        U = U + (lam * dU)[..., None] * eye6
-        V = V + (lam * dV)[..., None] * eye3
-        U = jnp.where(cam_fixed[:, None, None], eye6, U)
-        V = jnp.where(pt_valid[:, None, None], V, eye3)
-        g_c = jnp.where(cam_fixed[:, None], 0.0, g_c)
-        V_inv = _sym3_inv(V)
-
-        zv = jnp.einsum("lij,lj->li", V_inv, g_p)
-        red = psum(jnp.einsum("lok,loij,lj->ki", oh, W, zv))
-        b = -(g_c - red)
-        Minv = jnp.linalg.inv(U)
-
-        def matvec(x):
-            xg = jnp.einsum("lok,ki->loi", oh, x)
-            y = jnp.einsum("loij,loi->lj", W, xg)
-            zz = jnp.einsum("lij,lj->li", V_inv, y)
-            back = psum(jnp.einsum("lok,loij,lj->ki", oh, W, zz))
-            return jnp.einsum("kij,kj->ki", U, x) - back
-
-        def cg_body(s, _):
-            x, rr, p, rz = s
-            Sp = matvec(p)
-            alpha = rz / jnp.where(jnp.abs(jnp.sum(p * Sp)) < 1e-30, 1e-30,
-                                   jnp.sum(p * Sp))
-            x = x + alpha * p
-            rr = rr - alpha * Sp
-            zp = jnp.einsum("kij,kj->ki", Minv, rr)
-            rz_new = jnp.sum(rr * zp)
-            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
-            return (x, rr, zp + beta * p, rz_new), None
-
-        x0 = jnp.zeros_like(b)
-        z0 = jnp.einsum("kij,kj->ki", Minv, b)
-        (dc, _, _, _), _ = jax.lax.scan(
-            cg_body, (x0, b, z0, jnp.sum(b * z0)), None, length=config.pcg_iters
-        )
-
-        xg = jnp.einsum("lok,ki->loi", oh, dc)
-        y = jnp.einsum("loij,loi->lj", W, xg)
-        dp = -jnp.einsum("lij,lj->li", V_inv, g_p + y)
-        dp = jnp.where(pt_valid[:, None], dp, 0.0)
-
-        dphi = jnp.where(cam_fixed[:, None], 0.0, dc[:, :3])
-        dt = jnp.where(cam_fixed[:, None], 0.0, dc[:, 3:])
-        R_new = aa_to_rotmat(dphi) @ R
-        t_new = t + dt
-        X_new = X + dp
-        new_cost = cost_of(R_new, t_new, X_new)
-        accept = (new_cost < cost) & jnp.isfinite(new_cost)
-        sel = lambda a, b2: jnp.where(accept & ~done, a, b2)
-        rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
-        return (
-            sel(R_new, R), sel(t_new, t), sel(X_new, X),
-            jnp.where(done, lam, jnp.where(accept, lam / 3.0, lam * nu)),
-            jnp.where(done, nu, jnp.where(accept, 2.0, nu * 2.0)),
-            sel(new_cost, cost),
-            done | (accept & (rel < config.rtol)),
-        ), None
-
-    cost0 = cost_of(R0, t0, points0)
-    init = (R0, t0, points0, jnp.asarray(config.lam0), jnp.asarray(2.0),
+    Xt0 = points0.T
+    cost0 = cost_of(R0, t0, Xt0)
+    init = (R0, t0, Xt0, jnp.asarray(config.lam0), jnp.asarray(2.0),
             cost0, jnp.asarray(False))
-    (R, t, X, _, _, cost, _), _ = jax.lax.scan(
+    (R, t, Xt, _, _, cost, _), _ = jax.lax.scan(
         step, init, None, length=config.max_iters
     )
-    return R, t, X, cost0, cost
+    return R, t, Xt.T, cost0, cost
 
 
 @partial(jax.jit, static_argnames=("config", "mesh"))

@@ -249,7 +249,7 @@ class BundleAdjustmentPipeline:
             snap.valid, snap.cam_fixed, snap.points.shape[0],
             max_obs=self.cfg.ba_max_obs_per_pt,
         )
-        cfg = LMConfig(max_iters=max_iters, solver="pcg",
+        cfg = LMConfig(max_iters=max_iters, solver=self.cfg.ba_solver,
                        pcg_iters=self.cfg.pcg_iters)
         cams, pts, info = dense_ba_solve(
             dense, jnp.asarray(snap.extr), jnp.asarray(snap.points), cfg

@@ -10,17 +10,24 @@ can tile:
   ``[L, O]`` (O = capped max observations per landmark, validity-masked), so
   every landmark-side quantity (V blocks, point gradients, back-substitution)
   is a dense reduction over the O axis — no scatter, no gather;
-- camera-side reductions go through a one-hot observation->camera matrix
-  ``[L, O, K]`` contracted on the MXU (einsum), replacing both the camera
-  gathers and the camera scatter-adds.  For K cameras this is an
-  ``[L*O, K] @ [K, .]`` / ``[K, L*O] @ [L*O, .]`` matmul pair — exactly the
-  shape the systolic array wants.
+- camera-side reductions go through one-hot observation->camera matmuls
+  contracted on the MXU, replacing both the camera gathers and the camera
+  scatter-adds.
+
+**Layout**: all per-observation tensors live in *component-major* form
+``[components..., O, L]`` — the landmark axis L is the trailing (lane) axis.
+TPU vector tiles are (8, 128): a tensor shaped ``[L, O, 2, 6]`` puts 6
+elements in each 128-lane row (>20x padding waste on every elementwise op),
+while ``[2, 6, O, L]`` fills whole tiles.  This layout change alone is worth
+~9x on the block build (measured v5e, 10k landmarks — see BASELINE.md).
+The small component axes (2 residual rows, 6 camera dofs, 3 point dofs) are
+unrolled in Python, which XLA fuses into a handful of full-width VPU loops;
+camera-side reductions become ``[C, O*L] @ [O*L, K]`` matmuls whose one-hot
+operand is generated inline (fused, never materialized in HBM).
 
 The LM loop, Huber-IRLS weighting, cheirality penalty, Nielsen schedule, and
 Schur-PCG structure mirror `solvers/lm.py` (numerical parity is tested);
-only the data layout differs.  Memory: the one-hot is L*O*K floats — 20 MB
-at the 10k-landmark bench shape; for very large K shard the camera axis or
-chunk the contraction.
+only the data layout differs.
 
 Replaces Ceres LM + DENSE_SCHUR (reference `ba_project/src/ba/Optimizer.cpp:80-90`)
 on the TPU hot path.
@@ -38,7 +45,6 @@ import jax.numpy as jnp
 from bundleadjustment_tpu.geometry.se3 import aa_to_rotmat, rotmat_to_aa
 from bundleadjustment_tpu.solvers.lm import CHEIRALITY_PENALTY, LMConfig
 from bundleadjustment_tpu.solvers.residuals import HUBER_DELTA
-from bundleadjustment_tpu.solvers.schur import _sym3_inv
 
 
 class DenseBAProblem(NamedTuple):
@@ -101,77 +107,95 @@ def densify_problem(K4, cam_idx, pt_idx, uv, sigma2, valid, cam_fixed,
     )
 
 
-def _onehot(cam_idx, n_cams, dtype):
-    return (cam_idx[..., None] == jnp.arange(n_cams)[None, None, :]).astype(dtype)
+# ---------------------------------------------------------------------------
+# component-major internals
+# ---------------------------------------------------------------------------
 
 
-def _residuals_jacobians(prob: DenseBAProblem, oh, R, t, X, robust):
-    """Dense residuals + Jacobians.  Shapes: r [L,O,2], Jc [L,O,2,6],
-    Jp [L,O,2,3], plus cheirality mask."""
-    Rg = jnp.einsum("lok,kij->loij", oh, R)
-    tg = jnp.einsum("lok,ki->loi", oh, t)
-    RX = jnp.einsum("loij,lj->loi", Rg, X)
+class _CM(NamedTuple):
+    """The dense problem transposed to component-major [.., O, L] layout."""
+
+    K4: jnp.ndarray
+    cam_t: jnp.ndarray  # [O, L] int32
+    uv_t: jnp.ndarray  # [2, O, L]
+    inv_sigma_t: jnp.ndarray  # [O, L]
+    inv_sigma2_t: jnp.ndarray  # [O, L]
+    valid_t: jnp.ndarray  # [O, L] bool
+    fixed_t: jnp.ndarray  # [O, L] bool (observation's camera is fixed)
+    cam_fixed: jnp.ndarray  # [K]
+    pt_valid: jnp.ndarray  # [L]
+
+
+def _to_cm(prob: DenseBAProblem) -> _CM:
+    sigma2 = jnp.maximum(prob.sigma2, 1e-12)
+    return _CM(
+        K4=prob.K4,
+        cam_t=prob.cam_idx.T,
+        uv_t=jnp.transpose(prob.uv, (2, 1, 0)),
+        inv_sigma_t=(1.0 / jnp.sqrt(sigma2)).T,
+        inv_sigma2_t=(1.0 / sigma2).T,
+        valid_t=prob.valid.T,
+        fixed_t=prob.cam_fixed[prob.cam_idx].T,
+        cam_fixed=prob.cam_fixed,
+        pt_valid=prob.pt_valid,
+    )
+
+
+def _oh(cm: _CM, K, dtype):
+    """One-hot [K, O*L] camera-membership matrix.
+
+    Generated inline from cam_t so XLA fuses it into the consuming matmul —
+    it is never materialized in HBM (L*O*K floats would dominate traffic).
+    """
+    flat = cm.cam_t.reshape(1, -1)
+    return (jnp.arange(K, dtype=cm.cam_t.dtype)[:, None] == flat).astype(dtype)
+
+
+def _gather_cams(M, cm: _CM):
+    """[K, C] camera table -> [C, O, L] per-observation values (MXU matmul)."""
+    O, L = cm.cam_t.shape
+    out = jnp.einsum("kc,kn->cn", M, _oh(cm, M.shape[0], M.dtype))
+    return out.reshape(M.shape[1], O, L)
+
+
+def _reduce_cams(G, cm: _CM, K, bf16=False):
+    """[C, O, L] per-observation values -> [K, C] camera sums (MXU matmul)."""
+    C = G.shape[0]
+    Gf = G.reshape(C, -1)
+    if bf16:
+        out = jnp.einsum(
+            "cn,kn->kc", Gf.astype(jnp.bfloat16), _oh(cm, K, jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        out = jnp.einsum("cn,kn->kc", Gf, _oh(cm, K, Gf.dtype))
+    return out
+
+
+def _project_cm(cm: _CM, R, t, Xt):
+    """Project all observations.  Returns (x_cam [3,O,L], Rg [3,3,O,L],
+    u [O,L], v [O,L], z [O,L])."""
+    K = R.shape[0]
+    Rt = jnp.concatenate([R.reshape(K, 9), t], axis=1)  # [K, 12]
+    g = _gather_cams(Rt, cm)  # [12, O, L]
+    Rg = g[:9].reshape(3, 3, *cm.cam_t.shape)
+    tg = g[9:]
+    RX = jnp.stack(
+        [sum(Rg[i, j] * Xt[j][None, :] for j in range(3)) for i in range(3)]
+    )
     x_cam = RX + tg
-    z = x_cam[..., 2]
+    z = x_cam[2]
     zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-    fx, fy, cx, cy = prob.K4[0], prob.K4[1], prob.K4[2], prob.K4[3]
     inv_z = 1.0 / zs
-    u = fx * x_cam[..., 0] * inv_z + cx
-    v = fy * x_cam[..., 1] * inv_z + cy
-    inv_sigma = 1.0 / jnp.sqrt(jnp.maximum(prob.sigma2, 1e-12))
-    r = jnp.stack([u - prob.uv[..., 0], v - prob.uv[..., 1]], -1)
-    r = r * inv_sigma[..., None]
-
-    zero = jnp.zeros_like(inv_z)
-    duv_dx = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, zero, -fx * x_cam[..., 0] * inv_z * inv_z], -1),
-            jnp.stack([zero, fy * inv_z, -fy * x_cam[..., 1] * inv_z * inv_z], -1),
-        ],
-        axis=-2,
-    ) * inv_sigma[..., None, None]
-
-    RXx, RXy, RXz = RX[..., 0], RX[..., 1], RX[..., 2]
-    zeros = jnp.zeros_like(RXx)
-    neg_skew = jnp.stack(
-        [
-            jnp.stack([zeros, RXz, -RXy], -1),
-            jnp.stack([-RXz, zeros, RXx], -1),
-            jnp.stack([RXy, -RXx, zeros], -1),
-        ],
-        axis=-2,
-    )
-    J_phi = duv_dx @ neg_skew
-    Jc = jnp.concatenate([J_phi, duv_dx], axis=-1)
-    Jp = duv_dx @ Rg
-
-    mask = prob.valid & (z > 1e-6)
-    w = jnp.where(mask, 1.0, 0.0)
-    if robust:
-        nrm = jnp.linalg.norm(r, axis=-1)
-        w = w * jnp.where(nrm <= HUBER_DELTA, 1.0,
-                          HUBER_DELTA / jnp.maximum(nrm, 1e-12))
-    sw = jnp.sqrt(w)[..., None]
-    r = jnp.where(mask[..., None], r * sw, 0.0)
-    Jc = Jc * sw[..., None]
-    Jp = Jp * sw[..., None]
-    fixed = jnp.einsum("lok,k->lo", oh, prob.cam_fixed.astype(r.dtype))
-    Jc = jnp.where(fixed[..., None, None] > 0.5, 0.0, Jc)
-    return r, Jc, Jp, z
+    fx, fy, cx, cy = cm.K4[0], cm.K4[1], cm.K4[2], cm.K4[3]
+    u = fx * x_cam[0] * inv_z + cx
+    v = fy * x_cam[1] * inv_z + cy
+    return x_cam, RX, Rg, u, v, z, inv_z
 
 
-def _cost(prob: DenseBAProblem, oh, R, t, X, robust):
-    Rg = jnp.einsum("lok,kij->loij", oh, R)
-    tg = jnp.einsum("lok,ki->loi", oh, t)
-    x_cam = jnp.einsum("loij,lj->loi", Rg, X) + tg
-    z = x_cam[..., 2]
-    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-    fx, fy, cx, cy = prob.K4[0], prob.K4[1], prob.K4[2], prob.K4[3]
-    u = fx * x_cam[..., 0] / zs + cx
-    v = fy * x_cam[..., 1] / zs + cy
-    r2 = ((u - prob.uv[..., 0]) ** 2 + (v - prob.uv[..., 1]) ** 2) / jnp.maximum(
-        prob.sigma2, 1e-12
-    )
+def _cost_cm(cm: _CM, R, t, Xt, robust):
+    _xc, _RX, _Rg, u, v, z, _iz = _project_cm(cm, R, t, Xt)
+    r2 = ((u - cm.uv_t[0]) ** 2 + (v - cm.uv_t[1]) ** 2) * cm.inv_sigma2_t
     if robust:
         nrm = jnp.sqrt(jnp.maximum(r2, 1e-20))
         rho = jnp.where(nrm <= HUBER_DELTA, 0.5 * r2,
@@ -179,84 +203,202 @@ def _cost(prob: DenseBAProblem, oh, R, t, X, robust):
     else:
         rho = 0.5 * r2
     rho = jnp.where(z > 1e-6, rho, CHEIRALITY_PENALTY)
-    return jnp.sum(jnp.where(prob.valid, rho, 0.0))
+    return jnp.sum(jnp.where(cm.valid_t, rho, 0.0))
 
 
-@partial(jax.jit, static_argnames=("config",))
-def dense_ba_solve(prob: DenseBAProblem, cam_rt6, points, config=LMConfig()):
-    """LM/Schur-PCG solve in the dense landmark-major layout.
+def _residuals_jacobians_cm(cm: _CM, R, t, Xt, robust):
+    """Component-major residuals + Jacobians.
 
-    cam_rt6: [K, 6]; points: [L, 3].  Returns (cam_rt6', points', info).
+    Returns r [2,O,L], Jc [2,6,O,L], Jp [2,3,O,L].  Mirrors the math of the
+    reference's AngleReprojectionError (`ba_project/src/ba/Optimizer.h:49-88`)
+    with a left-multiplicative so(3) perturbation.
     """
-    K = cam_rt6.shape[0]
-    R0 = aa_to_rotmat(cam_rt6[:, :3])
-    t0 = cam_rt6[:, 3:]
-    oh = _onehot(prob.cam_idx, K, cam_rt6.dtype)
-    eye6 = jnp.eye(6, dtype=cam_rt6.dtype)
-    eye3 = jnp.eye(3, dtype=cam_rt6.dtype)
+    x_cam, RX, Rg, u, v, z, inv_z = _project_cm(cm, R, t, Xt)
+    fx, fy = cm.K4[0], cm.K4[1]
+    isig = cm.inv_sigma_t
+    r = jnp.stack([(u - cm.uv_t[0]) * isig, (v - cm.uv_t[1]) * isig])
 
-    if config.mxu_bf16:
-        oh_c = oh.astype(jnp.bfloat16)
-        cast = lambda x: x.astype(jnp.bfloat16)
-        ein = partial(jnp.einsum, preferred_element_type=jnp.float32)
-    else:
-        oh_c = oh
-        cast = lambda x: x
-        ein = jnp.einsum
+    zero = jnp.zeros_like(inv_z)
+    # duv_dx [2, 3, O, L] (including inv_sigma weighting)
+    duv_dx = jnp.stack([
+        jnp.stack([fx * inv_z * isig, zero,
+                   -fx * x_cam[0] * inv_z * inv_z * isig]),
+        jnp.stack([zero, fy * inv_z * isig,
+                   -fy * x_cam[1] * inv_z * inv_z * isig]),
+    ])
+    # neg_skew(RX) [3, 3, O, L]
+    RXx, RXy, RXz = RX[0], RX[1], RX[2]
+    zeros = jnp.zeros_like(RXx)
+    neg_skew = jnp.stack([
+        jnp.stack([zeros, RXz, -RXy]),
+        jnp.stack([-RXz, zeros, RXx]),
+        jnp.stack([RXy, -RXx, zeros]),
+    ])
+    J_phi = jnp.stack([
+        jnp.stack([sum(duv_dx[a, m] * neg_skew[m, j] for m in range(3))
+                   for j in range(3)])
+        for a in range(2)
+    ])  # [2, 3, O, L]
+    Jp = jnp.stack([
+        jnp.stack([sum(duv_dx[a, m] * Rg[m, j] for m in range(3))
+                   for j in range(3)])
+        for a in range(2)
+    ])  # [2, 3, O, L]
+    Jc = jnp.concatenate([J_phi, duv_dx], axis=1)  # [2, 6, O, L]
 
-    def step(state, _):
-        R, t, X, lam, nu, cost, done = state
-        r, Jc, Jp, _z = _residuals_jacobians(prob, oh, R, t, X, config.robust)
+    mask = cm.valid_t & (z > 1e-6)
+    w = jnp.where(mask, 1.0, 0.0)
+    if robust:
+        nrm = jnp.sqrt(jnp.maximum(r[0] ** 2 + r[1] ** 2, 1e-24))
+        w = w * jnp.where(nrm <= HUBER_DELTA, 1.0, HUBER_DELTA / nrm)
+    sw = jnp.sqrt(w)
+    r = jnp.where(mask, r * sw, 0.0)
+    Jc = Jc * jnp.where(cm.fixed_t, 0.0, sw)
+    Jp = Jp * sw
+    return r, Jc, Jp
 
-        Uc = jnp.einsum("lori,lorj->loij", Jc, Jc)
-        U = ein("lok,loij->kij", oh_c, cast(Uc))
-        g_c = ein("lok,lori,lor->ki", oh_c, cast(Jc), cast(r))
-        V = jnp.einsum("lori,lorj->lij", Jp, Jp)
-        g_p = jnp.einsum("lori,lor->li", Jp, r)
-        W = jnp.einsum("lori,lorj->loij", Jc, Jp)
 
-        dU = jnp.clip(jnp.diagonal(U, axis1=-2, axis2=-1), 1e-6, None)
-        dV = jnp.clip(jnp.diagonal(V, axis1=-2, axis2=-1), 1e-6, None)
-        U = U + (lam * dU)[..., None] * eye6
-        V = V + (lam * dV)[..., None] * eye3
-        U = jnp.where(prob.cam_fixed[:, None, None], eye6, U)
-        V = jnp.where(prob.pt_valid[:, None, None], V, eye3)
-        g_c = jnp.where(prob.cam_fixed[:, None], 0.0, g_c)
-        V_inv = _sym3_inv(V)
+def _sym3_inv_cm(V):
+    """Closed-form symmetric 3x3 inverse, component-major: V [3,3,L]."""
+    a, b, c = V[0, 0], V[0, 1], V[0, 2]
+    d, e, f = V[1, 1], V[1, 2], V[2, 2]
+    A = d * f - e * e
+    B = c * e - b * f
+    C = b * e - c * d
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    D = a * f - c * c
+    E = b * c - a * e
+    F = a * d - b * b
+    return jnp.stack([
+        jnp.stack([A, B, C]),
+        jnp.stack([B, D, E]),
+        jnp.stack([C, E, F]),
+    ]) * inv_det
 
-        W_c = cast(W)
 
-        # Schur RHS
-        zv = jnp.einsum("lij,lj->li", V_inv, g_p)
-        red = ein("lok,loij,lj->ki", oh_c, W_c, cast(zv))
+def _chol3_cm(V):
+    """Closed-form lower Cholesky of SPD 3x3, component-major: V [3,3,L]."""
+    a, b, c = V[0, 0], V[0, 1], V[0, 2]
+    d, e, f = V[1, 1], V[1, 2], V[2, 2]
+    l00 = jnp.sqrt(jnp.maximum(a, 1e-20))
+    l10 = b / l00
+    l20 = c / l00
+    l11 = jnp.sqrt(jnp.maximum(d - l10 * l10, 1e-20))
+    l21 = (e - l20 * l10) / l11
+    l22 = jnp.sqrt(jnp.maximum(f - l20 * l20 - l21 * l21, 1e-20))
+    zero = jnp.zeros_like(a)
+    return jnp.stack([
+        jnp.stack([l00, zero, zero]),
+        jnp.stack([l10, l11, zero]),
+        jnp.stack([l20, l21, l22]),
+    ])
+
+
+def _mat3vec_cm(M, x):
+    """[3,3,L] @ [3,L] -> [3,L]."""
+    return jnp.stack([sum(M[i, j] * x[j] for j in range(3)) for i in range(3)])
+
+
+def _build_blocks_cm(cm: _CM, r, Jc, Jp, lam, psum, bf16=False):
+    """Assemble damped U [K,6,6], g_c [K,6], V [3,3,L], g_p [3,L],
+    W [6,3,O,L] from component-major residuals/Jacobians."""
+    K = cm.cam_fixed.shape[0]
+    # camera-side: stack the 36 U products + 6 gradient rows -> one matmul
+    rows = [sum(Jc[a, i] * Jc[a, j] for a in range(2))
+            for i in range(6) for j in range(6)]
+    rows += [sum(Jc[a, i] * r[a] for a in range(2)) for i in range(6)]
+    stacked = jnp.stack(rows)  # [42, O, L]
+    red = psum(_reduce_cams(stacked, cm, K, bf16=bf16))  # [K, 42]
+    U = red[:, :36].reshape(K, 6, 6)
+    g_c = red[:, 36:]
+
+    V = jnp.stack([
+        jnp.stack([jnp.sum(Jp[0, i] * Jp[0, j] + Jp[1, i] * Jp[1, j], axis=0)
+                   for j in range(3)])
+        for i in range(3)
+    ])  # [3, 3, L]
+    g_p = jnp.stack([jnp.sum(Jp[0, i] * r[0] + Jp[1, i] * r[1], axis=0)
+                     for i in range(3)])  # [3, L]
+    W = jnp.stack([
+        jnp.stack([Jc[0, i] * Jp[0, j] + Jc[1, i] * Jp[1, j]
+                   for j in range(3)])
+        for i in range(6)
+    ])  # [6, 3, O, L]
+
+    eye6 = jnp.eye(6, dtype=U.dtype)
+    dU = jnp.clip(jnp.diagonal(U, axis1=-2, axis2=-1), 1e-6, None)
+    U = U + (lam * dU)[..., None] * eye6
+    U = jnp.where(cm.cam_fixed[:, None, None], eye6, U)
+    g_c = jnp.where(cm.cam_fixed[:, None], 0.0, g_c)
+
+    dV = jnp.stack([jnp.clip(V[i, i], 1e-6, None) for i in range(3)])
+    V = V + lam * dV[:, None, :] * jnp.eye(3)[:, :, None]
+    V = jnp.where(cm.pt_valid[None, None, :], V, jnp.eye(3)[:, :, None])
+    return U, g_c, V, g_p, W
+
+
+def _w_reduce(W, x_obs):
+    """y[j,l] = sum_{i,o} W[i,j,o,l] * x_obs[i,o,l]  -> [3, L]."""
+    return jnp.stack([
+        jnp.sum(sum(W[i, j] * x_obs[i] for i in range(6)), axis=0)
+        for j in range(3)
+    ])
+
+
+def _w_apply(W, z_pt):
+    """G[i,o,l] = sum_j W[i,j,o,l] * z_pt[j,l]  -> [6, O, L]."""
+    return jnp.stack([
+        sum(W[i, j] * z_pt[j][None, :] for j in range(3)) for i in range(6)
+    ])
+
+
+def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
+    """Build the (step, cost) pair for `lax.scan`.  `psum` is the cross-shard
+    reduction hook: identity single-device, `lax.psum` inside shard_map."""
+    K = cm.cam_fixed.shape[0]
+    bf16 = config.mxu_bf16
+
+    def cost_of(R, t, Xt):
+        return psum(_cost_cm(cm, R, t, Xt, config.robust))
+
+    def solve_cameras(U, g_c, V_inv, g_p, W):
+        zv = _mat3vec_cm(V_inv, g_p)
+        red = psum(_reduce_cams(_w_apply(W, zv), cm, K, bf16=bf16))  # [K, 6]
         b = -(g_c - red)
 
         if config.solver == "dense":
-            # exact DENSE_SCHUR: factorize V^-1 = C C^T (Cholesky), form
-            # P[l,k,i,m] = sum_o oh[l,o,k] (W[l,o] @ C[l])[i,m]; then
-            # S = U - sum_l P_l P_l^T — one MXU-shaped contraction instead
-            # of pcg_iters sequential matvecs.  Right for K up to a few
-            # hundred cameras (the Ceres DENSE_SCHUR regime).
-            C = jnp.linalg.cholesky(V_inv)  # [L,3,3]
-            G = jnp.einsum("loij,ljm->loim", W, C)  # [L,O,6,3]
-            Pf = jnp.einsum("lok,loim->lkim", oh, G)  # [L,K,6,3]
-            S_minus = jnp.einsum("lkim,lnjm->kinj", Pf, Pf)  # [K,6,K,6]
-            Kn = U.shape[0]
-            S_full = -S_minus
-            S_full = S_full.at[jnp.arange(Kn), :, jnp.arange(Kn), :].add(U)
-            S_mat = S_full.reshape(Kn * 6, Kn * 6)
-            S_mat = S_mat + 1e-8 * jnp.eye(Kn * 6, dtype=S_mat.dtype)
+            # exact DENSE_SCHUR: S = U_diag - Q Q^T with
+            # Q[(k,i), (l,m)] = sum_o oh[k,o,l] (W[l,o] @ chol(V^-1)[l])[i,m]
+            C = _chol3_cm(V_inv)  # [3, 3, L]
+            G = jnp.stack([
+                jnp.stack([sum(W[i, j] * C[j, m][None, :] for j in range(3))
+                           for m in range(3)])
+                for i in range(6)
+            ])  # [6, 3, O, L]
+            O, L = cm.cam_t.shape
+            # Pf[k, i, m, l] = sum_o oh[k,o,l] G[i,m,o,l]: batched over l
+            Pf = jax.lax.dot_general(
+                (jnp.arange(K)[:, None, None] == cm.cam_t[None]).astype(G.dtype),
+                G.reshape(18, O, L),
+                dimension_numbers=(((1,), (1,)), ((2,), (2,))),
+            )  # [L, K, 18]
+            Q = jnp.transpose(Pf, (1, 2, 0)).reshape(K * 6, 3, L)
+            Q = jnp.transpose(Q, (0, 2, 1)).reshape(K * 6, L * 3)
+            S = -psum(jnp.einsum("an,bn->ab", Q, Q))
+            idx = jnp.arange(K)
+            S = S.reshape(K, 6, K, 6).at[idx, :, idx, :].add(U)
+            S = S.reshape(K * 6, K * 6) + 1e-8 * jnp.eye(K * 6, dtype=S.dtype)
             dc = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(S_mat), b.reshape(-1)
-            ).reshape(Kn, 6)
+                jax.scipy.linalg.cho_factor(S), b.reshape(-1)
+            ).reshape(K, 6)
         else:
             Minv = jnp.linalg.inv(U)
 
             def matvec(x):
-                xg = ein("lok,ki->loi", oh_c, cast(x))
-                y = jnp.einsum("loij,loi->lj", W, xg)
-                zz = jnp.einsum("lij,lj->li", V_inv, y)
-                back = ein("lok,loij,lj->ki", oh_c, W_c, cast(zz))
+                xg = _gather_cams(x, cm)  # [6, O, L]
+                zz = _mat3vec_cm(V_inv, _w_reduce(W, xg))
+                back = psum(_reduce_cams(_w_apply(W, zz), cm, K, bf16=bf16))
                 Ux = jnp.einsum("kij,kj->ki", U, x)
                 return Ux - back
 
@@ -278,38 +420,62 @@ def dense_ba_solve(prob: DenseBAProblem, cam_rt6, points, config=LMConfig()):
                 cg_body, (x0, b, z0, jnp.sum(b * z0)), None,
                 length=config.pcg_iters,
             )
+        return dc
+
+    def step(state, _):
+        R, t, Xt, lam, nu, cost, done = state
+        r, Jc, Jp = _residuals_jacobians_cm(cm, R, t, Xt, config.robust)
+        U, g_c, V, g_p, W = _build_blocks_cm(cm, r, Jc, Jp, lam, psum,
+                                             bf16=bf16)
+        V_inv = _sym3_inv_cm(V)
+        dc = solve_cameras(U, g_c, V_inv, g_p, W)
 
         # back-substitution (fully local per landmark)
-        xg = jnp.einsum("lok,ki->loi", oh, dc)
-        y = jnp.einsum("loij,loi->lj", W, xg)
-        dp = -jnp.einsum("lij,lj->li", V_inv, g_p + y)
-        dp = jnp.where(prob.pt_valid[:, None], dp, 0.0)
+        xg = _gather_cams(dc, cm)
+        y = _w_reduce(W, xg)
+        dp = -_mat3vec_cm(V_inv, g_p + y)  # [3, L]
+        dp = jnp.where(cm.pt_valid[None, :], dp, 0.0)
 
-        dphi = jnp.where(prob.cam_fixed[:, None], 0.0, dc[:, :3])
-        dt = jnp.where(prob.cam_fixed[:, None], 0.0, dc[:, 3:])
+        dphi = jnp.where(cm.cam_fixed[:, None], 0.0, dc[:, :3])
+        dt = jnp.where(cm.cam_fixed[:, None], 0.0, dc[:, 3:])
         R_new = aa_to_rotmat(dphi) @ R
         t_new = t + dt
-        X_new = X + dp
+        Xt_new = Xt + dp
 
-        new_cost = _cost(prob, oh, R_new, t_new, X_new, config.robust)
+        new_cost = cost_of(R_new, t_new, Xt_new)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
         sel = lambda a, b2: jnp.where(accept & ~done, a, b2)
         rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
         return (
-            sel(R_new, R), sel(t_new, t), sel(X_new, X),
+            sel(R_new, R), sel(t_new, t), sel(Xt_new, Xt),
             jnp.where(done, lam, jnp.where(accept, lam / 3.0, lam * nu)),
             jnp.where(done, nu, jnp.where(accept, 2.0, nu * 2.0)),
             sel(new_cost, cost),
             done | (accept & (rel < config.rtol)),
         ), new_cost
 
-    cost0 = _cost(prob, oh, R0, t0, points, config.robust)
+    return step, cost_of
+
+
+@partial(jax.jit, static_argnames=("config",))
+def dense_ba_solve(prob: DenseBAProblem, cam_rt6, points, config=LMConfig()):
+    """LM/Schur solve in the dense landmark-major layout.
+
+    cam_rt6: [K, 6]; points: [L, 3].  Returns (cam_rt6', points', info).
+    """
+    cm = _to_cm(prob)
+    R0 = aa_to_rotmat(cam_rt6[:, :3])
+    t0 = cam_rt6[:, 3:]
+    Xt0 = points.T
+
+    step, cost_of = _make_step(cm, config)
+    cost0 = cost_of(R0, t0, Xt0)
     init = (
-        R0, t0, points, jnp.asarray(config.lam0, cost0.dtype),
+        R0, t0, Xt0, jnp.asarray(config.lam0, cost0.dtype),
         jnp.asarray(2.0, cost0.dtype), cost0, jnp.asarray(False),
     )
-    (R, t, X, _, _, cost, _), hist = jax.lax.scan(
+    (R, t, Xt, _, _, cost, _), hist = jax.lax.scan(
         step, init, None, length=config.max_iters
     )
     cams_out = jnp.concatenate([rotmat_to_aa(R), t], -1)
-    return cams_out, X, {"cost0": cost0, "cost": cost, "cost_history": hist}
+    return cams_out, Xt.T, {"cost0": cost0, "cost": cost, "cost_history": hist}
