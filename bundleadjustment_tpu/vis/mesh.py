@@ -51,8 +51,11 @@ def create_map_mesh(points, colors=None, cam_poses=None, faces_type="standard",
                     normalize=True):
     """Assemble the output mesh: map vertices (+faces) + camera glyphs.
 
-    faces_type: "standard" (no faces) | "greedy"/"poisson" (Delaunay faces on
-    the two dominant axes; both map to the same implementation here).
+    faces_type: "standard" (no faces) | "greedy" (Delaunay projection faces
+    on the two dominant axes — the analogue of PCL greedy projection
+    triangulation) | "poisson" (full Poisson surface reconstruction,
+    `vis/poisson.py` — the mesh gets its own grid-resolution vertex set,
+    like PCL Poisson in the reference `SimpleMesh.cpp:414-491`).
     Returns (verts, faces, colors).
     """
     pts = np.asarray(points, np.float64)
@@ -64,7 +67,29 @@ def create_map_mesh(points, colors=None, cam_poses=None, faces_type="standard",
         center, scale = np.zeros(3), 1.0
 
     faces = np.zeros((0, 3), np.int64)
-    if faces_type in ("greedy", "poisson") and len(pts) >= 16:
+    if faces_type == "poisson" and len(pts) >= 64:
+        from bundleadjustment_tpu.vis.poisson import poisson_reconstruct
+
+        vps = None
+        if cam_poses is not None and len(cam_poses):
+            vps = np.stack(
+                [(np.asarray(M)[:3, 3] - center) * scale for M in cam_poses]
+            )
+        mverts, mfaces = poisson_reconstruct(pts, viewpoints=vps)
+        if len(mverts):
+            # color mesh vertices from the nearest map point (chunked NN)
+            cols_in = np.asarray(colors, np.uint8)
+            p32 = pts.astype(np.float32)
+            pn = (p32 ** 2).sum(1)
+            nn = np.empty(len(mverts), np.int64)
+            for s in range(0, len(mverts), 1024):
+                blk = mverts[s:s + 1024].astype(np.float32)
+                d = (blk ** 2).sum(1)[:, None] - 2.0 * blk @ p32.T + pn[None]
+                nn[s:s + len(blk)] = np.argmin(d, axis=1)
+            pts = mverts
+            colors = cols_in[nn]
+            faces = mfaces
+    elif faces_type == "greedy" and len(pts) >= 16:
         from scipy.spatial import Delaunay
 
         # project onto the two principal axes, triangulate, lift

@@ -57,3 +57,24 @@ def test_sharded_dense_converges_to_gt():
     )
     assert float(info["cost"]) < float(info["cost0"]) * 1e-3
     np.testing.assert_allclose(np.asarray(cams), sc.extr_gt, atol=5e-3)
+
+
+def test_sharded_exact_schur_matches_single_device():
+    """solver='dense' under shard_map: QQ^T and U partials psum to the exact
+    replicated Schur system, so the sharded solve must track the single-device
+    exact solve."""
+    sc = make_synthetic_scene(n_cams=8, n_pts=256, pixel_noise=0.3, seed=53)
+    (prob, pts_sharded, shard_of, local_of), cam_fixed = _build(sc, 8)
+    cfg = LMConfig(max_iters=8, solver="dense")
+    cams_s, pts_s, info_s = sharded_dense_ba_solve(
+        prob, sc.extr_init, pts_sharded, cfg
+    )
+    dense, _ = densify_problem(
+        sc.K4, sc.cam_idx, sc.pt_idx, sc.uv, sc.sigma2, sc.valid, cam_fixed, 256
+    )
+    cams_1, pts_1, info_1 = dense_ba_solve(
+        dense, jnp.asarray(sc.extr_init), jnp.asarray(sc.points_init), cfg
+    )
+    np.testing.assert_allclose(np.asarray(cams_s), np.asarray(cams_1), atol=5e-3)
+    pts_full = np.asarray(pts_s)[shard_of, local_of]
+    np.testing.assert_allclose(pts_full, np.asarray(pts_1), atol=2e-2)
