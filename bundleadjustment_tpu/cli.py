@@ -100,6 +100,10 @@ def load_dataset(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from bundleadjustment_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from bundleadjustment_tpu.data.tum import write_tum_trajectory
     from bundleadjustment_tpu.pipeline import BundleAdjustmentPipeline, PipelineConfig
     from bundleadjustment_tpu.vis.mesh import create_map_mesh, write_off, write_ply

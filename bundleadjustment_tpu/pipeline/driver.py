@@ -31,7 +31,11 @@ from bundleadjustment_tpu.geometry.epipolar import recover_pose_two_view
 from bundleadjustment_tpu.geometry.triangulation import triangulate_gated
 from bundleadjustment_tpu.mapstate import SceneMap
 from bundleadjustment_tpu.ops.features import FeatureConfig, detect_and_describe
-from bundleadjustment_tpu.ops.matching import match_descriptors_jit
+from bundleadjustment_tpu.ops.matching import (
+    match_descriptors,
+    match_descriptors_fused,
+    match_descriptors_jit,
+)
 from bundleadjustment_tpu.pipeline.config import PipelineConfig
 from bundleadjustment_tpu.solvers import BAProblem, LMConfig, ba_solve
 from bundleadjustment_tpu.solvers.lm import MotionOnlyConfig, motion_only_ba
@@ -100,6 +104,10 @@ class FrameFeatures:
     sigma2: np.ndarray
     desc: np.ndarray
     valid: np.ndarray
+    # device-resident copies (kept so frame-to-frame matching never bounces
+    # descriptors through the host; None until first device use)
+    desc_dev: object | None = None
+    valid_dev: object | None = None
 
 
 @dataclass
@@ -167,13 +175,74 @@ class BundleAdjustmentPipeline:
 
     def _detect(self, gray) -> FrameFeatures:
         f = detect_and_describe(jnp.asarray(gray), self.feat_cfg)
+        fh = jax.device_get(f)
         return FrameFeatures(
-            xy=np.asarray(f.xy),
-            octave=np.asarray(f.octave),
-            sigma2=np.asarray(f.sigma2),
-            desc=np.asarray(f.desc),
-            valid=np.asarray(f.valid),
+            xy=fh.xy,
+            octave=fh.octave,
+            sigma2=fh.sigma2,
+            desc=fh.desc,
+            valid=fh.valid,
+            desc_dev=f.desc,
+            valid_dev=f.valid,
         )
+
+    def _frontend_fn(self):
+        """Jitted fused detect+match: one device dispatch per tracked frame.
+
+        The per-dispatch relay latency of a tunneled TPU (~30-60 ms) makes
+        every round-trip count; fusing detection of the current frame with
+        matching against the previous frame's (device-resident) descriptors
+        removes one dispatch and two host<->device descriptor copies.
+        """
+        if getattr(self, "_frontend_cache", None) is not None:
+            return self._frontend_cache
+        feat_cfg = self.feat_cfg
+        ratio = self.cfg.match_ratio
+        use_pallas = self._use_pallas_matcher
+
+        @jax.jit
+        def frontend(gray, prev_desc, prev_valid):
+            f = detect_and_describe(gray, feat_cfg)
+            if use_pallas:
+                idx, dist = match_descriptors_fused(
+                    prev_desc, f.desc, valid_a=prev_valid, valid_b=f.valid,
+                    ratio=ratio,
+                )
+            else:
+                idx, dist = match_descriptors(
+                    prev_desc, f.desc, valid_a=prev_valid, valid_b=f.valid,
+                    metric="hamming", ratio=ratio,
+                )
+            return f, idx, dist
+
+        self._frontend_cache = frontend
+        return frontend
+
+    def detect_and_match(self, gray, prev: FrameFeatures):
+        """Fused detect(current) + match(prev->current).
+
+        Returns (FrameFeatures with device-resident descriptors, idx, dist).
+        """
+        with self.timers.phase("frontend"):
+            if prev.desc_dev is None:
+                prev.desc_dev = jnp.asarray(prev.desc)
+                prev.valid_dev = jnp.asarray(prev.valid)
+            f, idx, dist = self._frontend_fn()(
+                jnp.asarray(gray), prev.desc_dev, prev.valid_dev
+            )
+            # one batched device->host fetch: serial np.asarray per array
+            # costs a full relay round-trip each (~20 ms) on a tunneled TPU
+            fh, idx_h, dist_h = jax.device_get((f, idx, dist))
+            feats = FrameFeatures(
+                xy=fh.xy,
+                octave=fh.octave,
+                sigma2=fh.sigma2,
+                desc=fh.desc,
+                valid=fh.valid,
+                desc_dev=f.desc,
+                valid_dev=f.valid,
+            )
+            return feats, idx_h, dist_h
 
     def match(self, fa: FrameFeatures, fb: FrameFeatures, max_dist=None):
         """knn2+ratio+uniqueness match a->b.  Returns (idx [Ma], dist [Ma])."""
@@ -192,7 +261,7 @@ class BundleAdjustmentPipeline:
                 ratio=self.cfg.match_ratio,
                 max_dist=max_dist,
             )
-            return np.asarray(idx), np.asarray(dist)
+            return jax.device_get((idx, dist))
         idx, dist = match_descriptors_jit(
             jnp.asarray(fa.desc),
             jnp.asarray(fb.desc),
@@ -202,7 +271,7 @@ class BundleAdjustmentPipeline:
             ratio=self.cfg.match_ratio,
             max_dist=max_dist,
         )
-        return np.asarray(idx), np.asarray(dist)
+        return jax.device_get((idx, dist))
 
     # ------------------------------------------------------------------
     # bundle adjustment wrappers
@@ -324,7 +393,8 @@ class BundleAdjustmentPipeline:
             jnp.asarray(V),
             cfg,
         )
-        return np.asarray(rt)[0].astype(np.float64), np.asarray(inl)[0, :n]
+        rt_h, inl_h = jax.device_get((rt, inl))
+        return rt_h[0].astype(np.float64), inl_h[0, :n]
 
     # ------------------------------------------------------------------
     # initialization  (reference Initializer.cpp; SURVEY §3.3)
@@ -433,8 +503,7 @@ class BundleAdjustmentPipeline:
             jnp.asarray(cur_feats.sigma2[pair_cur]),
             jnp.asarray(sel),
         )
-        pts = np.asarray(pts)
-        ok = np.asarray(ok)
+        pts, ok = jax.device_get((pts, ok))
         cur_img = getattr(self, "_cur_image", None)
         cols = (
             sample_color_bilinear(cur_img, cur_feats.xy[pair_cur])
@@ -507,8 +576,7 @@ class BundleAdjustmentPipeline:
             jnp.asarray(fb.sigma2[pair_b]),
             jnp.ones(len(pair_a), bool),
         )
-        pts = np.asarray(pts)
-        ok = np.asarray(ok)
+        pts, ok = jax.device_get((pts, ok))
         center_b = np_se3.rt6_inverse(m.kf_pose[slot_b])[3:]
         colors = None
         if image is not None:
@@ -806,7 +874,15 @@ class BundleAdjustmentPipeline:
         """Process one FrameData.  Returns a status string."""
         cfg = self.cfg
         m = self.map
-        feats = self.detect(frame.gray)
+        # fused detect+match against the frame we will match anyway (last
+        # frame when tracking, reference frame when awaiting init): one
+        # device dispatch instead of two
+        prev = self.last_feats if self.initialized else self.ref_feats
+        if prev is not None:
+            feats, matches, dists = self.detect_and_match(frame.gray, prev)
+        else:
+            feats = self.detect(frame.gray)
+            matches = dists = None
         self._cur_image = frame.rgb if frame.rgb is not None else frame.gray
         slot = m.add_frame(
             frame.timestamp,
@@ -826,7 +902,6 @@ class BundleAdjustmentPipeline:
                 self._ref_depth = frame.depth
                 self._ref_image = self._cur_image
                 return "ref"
-            matches, dists = self.match(self.ref_feats, feats)
             n_matches = int((matches >= 0).sum())
             if n_matches <= cfg.min_init_matches:
                 # too few matches: keep the reference, skip this frame
@@ -869,8 +944,6 @@ class BundleAdjustmentPipeline:
             return "ref-reset"
 
         # ---- tracking path ----
-        lf = self.last_feats
-        matches, dists = self.match(lf, feats)
         n_matches = max(int((matches >= 0).sum()), 1)
 
         # associate current keypoints to landmarks through last-frame matches
@@ -939,7 +1012,8 @@ class BundleAdjustmentPipeline:
             m.cull_recent_points(
                 self.kf_counter, cfg.cull_point_window, cfg.cull_point_min_obs
             )
-            self._triangulate_pairs(self.last_slot, slot, lf, feats, matches,
+            self._triangulate_pairs(self.last_slot, slot, self.last_feats,
+                                    feats, matches,
                                     image=self._cur_image, image_side="b")
             m.update_covisibility(slot, cfg.covis_threshold)
             self.search_in_neighbors(slot, feats)

@@ -42,4 +42,7 @@ def test_live_visualizer_snapshots(tmp_path):
     assert len(verts) >= len(pipe.map.active_points())
     assert "phase_times" not in pipe.stats  # only run() adds the report
     rep = pipe.timers.report()
-    assert rep["detect"]["count"] == 3
+    # frame 0 is a plain detect; later frames use the fused detect+match
+    # frontend (one dispatch per frame)
+    assert rep["detect"]["count"] == 1
+    assert rep["frontend"]["count"] == 2
