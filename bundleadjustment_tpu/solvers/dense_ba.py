@@ -72,26 +72,32 @@ def densify_problem(K4, cam_idx, pt_idx, uv, sigma2, valid, cam_fixed,
     valid = np.asarray(valid)
 
     L = n_points
-    order = np.argsort(pt_idx, kind="stable")
-    slots = np.zeros(L, np.int64)
     ci = np.zeros((L, max_obs), np.int32)
     uvd = np.zeros((L, max_obs, 2), np.float32)
     sg = np.ones((L, max_obs), np.float32)
     vd = np.zeros((L, max_obs), bool)
-    dropped = 0
-    for n in order:
-        if not valid[n]:
-            continue
-        l = pt_idx[n]
-        s = slots[l]
-        if s >= max_obs:
-            dropped += 1
-            continue
-        ci[l, s] = cam_idx[n]
-        uvd[l, s] = uv[n]
-        sg[l, s] = sigma2[n]
-        vd[l, s] = True
-        slots[l] = s + 1
+
+    # vectorized grouping: stable-sort valid observations by landmark, rank
+    # within each group, scatter ranks < max_obs into the dense slots
+    vi = np.nonzero(valid)[0]
+    p = pt_idx[vi]
+    order = np.argsort(p, kind="stable")
+    vi = vi[order]
+    p = p[order]
+    if len(p):
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        sizes = np.diff(np.r_[starts, len(p)])
+        ranks = np.arange(len(p)) - np.repeat(starts, sizes)
+    else:
+        ranks = np.zeros(0, np.int64)
+    keep = ranks < max_obs
+    dropped = int(len(p) - keep.sum())
+    lk, sk, nk = p[keep], ranks[keep], vi[keep]
+    ci[lk, sk] = cam_idx[nk]
+    uvd[lk, sk] = uv[nk]
+    sg[lk, sk] = sigma2[nk]
+    vd[lk, sk] = True
+    slots = np.bincount(lk, minlength=L)
 
     return (
         DenseBAProblem(
