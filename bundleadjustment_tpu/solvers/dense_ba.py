@@ -383,15 +383,20 @@ def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
                 for i in range(6)
             ])  # [6, 3, O, L]
             O, L = cm.cam_t.shape
+            pf_dtype = jnp.bfloat16 if bf16 else G.dtype
             # Pf[k, i, m, l] = sum_o oh[k,o,l] G[i,m,o,l]: batched over l
             Pf = jax.lax.dot_general(
-                (jnp.arange(K)[:, None, None] == cm.cam_t[None]).astype(G.dtype),
-                G.reshape(18, O, L),
+                (jnp.arange(K)[:, None, None] == cm.cam_t[None]).astype(pf_dtype),
+                G.reshape(18, O, L).astype(pf_dtype),
                 dimension_numbers=(((1,), (1,)), ((2,), (2,))),
+                preferred_element_type=pf_dtype,
             )  # [L, K, 18]
             Q = jnp.transpose(Pf, (1, 2, 0)).reshape(K * 6, 3, L)
             Q = jnp.transpose(Q, (0, 2, 1)).reshape(K * 6, L * 3)
-            S = -psum(jnp.einsum("an,bn->ab", Q, Q))
+            S = -psum(
+                jnp.einsum("an,bn->ab", Q, Q,
+                           preferred_element_type=jnp.float32)
+            )
             idx = jnp.arange(K)
             S = S.reshape(K, 6, K, 6).at[idx, :, idx, :].add(U)
             S = S.reshape(K * 6, K * 6) + 1e-8 * jnp.eye(K * 6, dtype=S.dtype)
