@@ -9,7 +9,10 @@ and the camera-side one-hot MXU contractions produce per-shard partials that
 are `psum`-reduced — the same communication profile as the flat sharded
 engine (traffic ~ cameras) with the dense engine's per-device speed.
 
-Solver: Schur + block-Jacobi PCG (matrix-free, one [K,6] psum per matvec).
+Solvers: exact DENSE_SCHUR (the replicated [6K,6K] reduced camera system is
+assembled from psummed per-shard QQ^T partials, then Cholesky-solved on every
+device) or matrix-free Schur + block-Jacobi PCG (one [K,6] psum per matvec)
+for camera counts where S is too large to replicate.
 """
 
 from __future__ import annotations

@@ -244,35 +244,6 @@ class BundleAdjustmentPipeline:
             )
             return feats, idx_h, dist_h
 
-    def match(self, fa: FrameFeatures, fb: FrameFeatures, max_dist=None):
-        """knn2+ratio+uniqueness match a->b.  Returns (idx [Ma], dist [Ma])."""
-        with self.timers.phase("match"):
-            return self._match(fa, fb, max_dist)
-
-    def _match(self, fa, fb, max_dist=None):
-        if self._use_pallas_matcher:
-            from bundleadjustment_tpu.ops.matching import match_descriptors_fused
-
-            idx, dist = match_descriptors_fused(
-                jnp.asarray(fa.desc),
-                jnp.asarray(fb.desc),
-                valid_a=jnp.asarray(fa.valid),
-                valid_b=jnp.asarray(fb.valid),
-                ratio=self.cfg.match_ratio,
-                max_dist=max_dist,
-            )
-            return jax.device_get((idx, dist))
-        idx, dist = match_descriptors_jit(
-            jnp.asarray(fa.desc),
-            jnp.asarray(fb.desc),
-            valid_a=jnp.asarray(fa.valid),
-            valid_b=jnp.asarray(fb.valid),
-            metric="hamming",
-            ratio=self.cfg.match_ratio,
-            max_dist=max_dist,
-        )
-        return jax.device_get((idx, dist))
-
     # ------------------------------------------------------------------
     # bundle adjustment wrappers
     # ------------------------------------------------------------------

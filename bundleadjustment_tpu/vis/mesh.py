@@ -67,6 +67,7 @@ def create_map_mesh(points, colors=None, cam_poses=None, faces_type="standard",
         center, scale = np.zeros(3), 1.0
 
     faces = np.zeros((0, 3), np.int64)
+    poisson_ok = False
     if faces_type == "poisson" and len(pts) >= 64:
         from bundleadjustment_tpu.vis.poisson import poisson_reconstruct
 
@@ -76,7 +77,8 @@ def create_map_mesh(points, colors=None, cam_poses=None, faces_type="standard",
                 [(np.asarray(M)[:3, 3] - center) * scale for M in cam_poses]
             )
         mverts, mfaces = poisson_reconstruct(pts, viewpoints=vps)
-        if len(mverts):
+        poisson_ok = len(mverts) > 0 and len(mfaces) > 0
+        if poisson_ok:
             # color mesh vertices from the nearest map point (chunked NN)
             cols_in = np.asarray(colors, np.uint8)
             p32 = pts.astype(np.float32)
@@ -89,7 +91,10 @@ def create_map_mesh(points, colors=None, cam_poses=None, faces_type="standard",
             pts = mverts
             colors = cols_in[nn]
             faces = mfaces
-    elif faces_type == "greedy" and len(pts) >= 16:
+    if (faces_type == "greedy" or (faces_type == "poisson" and not poisson_ok)
+            ) and len(pts) >= 16:
+        # Delaunay projection faces; also the fallback when the point set is
+        # too small/degenerate for a Poisson iso-surface
         from scipy.spatial import Delaunay
 
         # project onto the two principal axes, triangulate, lift

@@ -70,10 +70,15 @@ def estimate_normals(points, k=16, viewpoints=None, chunk=2048):
     p = np.asarray(points, np.float32)
     if viewpoints is not None and len(np.atleast_2d(viewpoints)):
         vps = np.atleast_2d(np.asarray(viewpoints, np.float32))
-        # orient toward the nearest viewpoint (chunked to stay small)
-        d = ((p[:, None, :] - vps[None]) ** 2).sum(-1)
-        to_vp = vps[np.argmin(d, axis=1)] - p
-        flip = (normals * to_vp).sum(1) < 0
+        # orient toward the nearest viewpoint, chunked over points so the
+        # [chunk, M] distance block stays small for big maps
+        flip = np.zeros(len(p), bool)
+        vn = (vps**2).sum(1)
+        for s in range(0, len(p), 8192):
+            blk = p[s:s + 8192]
+            d = (blk**2).sum(1)[:, None] - 2.0 * blk @ vps.T + vn[None]
+            to_vp = vps[np.argmin(d, axis=1)] - blk
+            flip[s:s + len(blk)] = (normals[s:s + len(blk)] * to_vp).sum(1) < 0
     else:
         flip = normals[:, 2] < 0
     normals[flip] *= -1.0
@@ -241,6 +246,11 @@ def surface_nets(chi, iso):
         if len(idx) == 0:
             continue
         o1, o2 = [ax for ax in range(3) if ax != axis]
+        if axis == 1:
+            # keep the (axis, o1, o2) frame right-handed: e_o1 x e_o2 must
+            # equal +e_axis (true for (1,2) and (0,1), but (0,2) is
+            # left-handed) so all three edge orientations wind consistently
+            o1, o2 = o2, o1
         # the 4 cells around the edge, in a consistent cyclic order
         quads = []
         for d1, d2 in ((0, 0), (1, 0), (1, 1), (0, 1)):
@@ -259,9 +269,10 @@ def surface_nets(chi, iso):
         ok = (q >= 0).all(1)
         q = q[ok]
         fl = flips[ok]
-        # two triangles per quad; flip winding where the low corner is inside
-        t1 = np.where(fl[:, None], q[:, [0, 1, 2]], q[:, [0, 2, 1]])
-        t2 = np.where(fl[:, None], q[:, [0, 2, 3]], q[:, [0, 3, 2]])
+        # two triangles per quad, wound so normals point toward the
+        # occupied (chi > iso) side — outward for an interior solid
+        t1 = np.where(fl[:, None], q[:, [0, 2, 1]], q[:, [0, 1, 2]])
+        t2 = np.where(fl[:, None], q[:, [0, 3, 2]], q[:, [0, 2, 3]])
         faces.append(t1)
         faces.append(t2)
     faces = (

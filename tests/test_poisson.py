@@ -57,10 +57,16 @@ def test_surface_nets_closed_surface():
     chi = np.linalg.norm(g - (D - 1) / 2.0, axis=-1) - D / 4.0
     verts, faces = surface_nets(chi, 0.0)
     assert len(verts) and len(faces)
+    # consistent orientation: every DIRECTED edge appears exactly once
+    # (undirected-edge counting would miss winding inconsistencies)
     edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
-    edges = np.sort(edges, axis=1)
     _, counts = np.unique(edges, axis=0, return_counts=True)
-    assert (counts == 2).all()
+    assert (counts == 1).all()
+    # outward orientation: positive enclosed volume, close to the sphere's
+    v = verts[faces]
+    vol = np.einsum("fi,fi->f", v[:, 0], np.cross(v[:, 1], v[:, 2])).sum() / 6.0
+    true_vol = 4.0 / 3.0 * np.pi * (D / 4.0) ** 3
+    assert abs(vol - true_vol) / true_vol < 0.05
 
 
 def test_splat_and_sample_roundtrip():
