@@ -55,6 +55,9 @@ class PipelineConfig:
     tracking_fail_ratio: float = 1e-4  # BundleAdjustment.cpp:157-160
     min_track_points: int = 10
     max_track_obs: int = 512  # padded 2D-3D capacity for motion-only BA
+    fused_tracking: bool = True  # ba/pnp: run detect+match+associate+motion-
+    #   only BA of a tracked frame as ONE device dispatch (latency win on
+    #   remote TPUs); False falls back to separate dispatches
     pnp_translation_guard: float = 1.0  # ||t|| jump reject (SfMHelper.cpp:76-80)
 
     # covisibility / windows

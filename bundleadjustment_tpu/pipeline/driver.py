@@ -160,6 +160,7 @@ class BundleAdjustmentPipeline:
         self.trajectory: list[TrackRecord] = []
         self.stats = {"frames": 0, "keyframes": 0, "tracking_failures": 0}
         self.timers = PhaseTimer()
+        self._prev_track = None  # (xyz [M,3], trackable [M]) of last frame
 
     # ------------------------------------------------------------------
     # device helpers
@@ -243,6 +244,102 @@ class BundleAdjustmentPipeline:
                 valid_dev=f.valid,
             )
             return feats, idx_h, dist_h
+
+    def _track_fused_fn(self, robust):
+        """Jitted fused tracked-frame step: detect + match + landmark
+        association + motion-only BA in ONE dispatch.
+
+        The association uses per-keypoint landmark state of the previous
+        frame (positions + trackability mask) captured on the host at the
+        end of the previous frame — so the whole per-frame device work runs
+        without an intermediate host round-trip.
+        """
+        cache = getattr(self, "_track_fused_cache", {})
+        if robust in cache:
+            return cache[robust]
+        feat_cfg = self.feat_cfg
+        ratio = self.cfg.match_ratio
+        use_pallas = self._use_pallas_matcher
+        assoc_max = self.cfg.assoc_max_dist
+        mcfg = MotionOnlyConfig(
+            outer_iters=self.cfg.motion_outer,
+            inner_iters=self.cfg.motion_inner,
+            robust=robust,
+        )
+        K4 = jnp.asarray(self.K4)
+
+        @jax.jit
+        def track(gray, prev_desc, prev_valid, prev_xyz, prev_ok, pred_extr):
+            f = detect_and_describe(gray, feat_cfg)
+            if use_pallas:
+                idx, dist = match_descriptors_fused(
+                    prev_desc, f.desc, valid_a=prev_valid, valid_b=f.valid,
+                    ratio=ratio,
+                )
+            else:
+                idx, dist = match_descriptors(
+                    prev_desc, f.desc, valid_a=prev_valid, valid_b=f.valid,
+                    metric="hamming", ratio=ratio,
+                )
+            safe = jnp.clip(idx, 0, None)
+            ok = (idx >= 0) & prev_ok & (dist < assoc_max)
+            rt, inl = motion_only_ba(
+                K4,
+                pred_extr[None].astype(jnp.float32),
+                prev_xyz[None],
+                f.xy[safe][None],
+                f.sigma2[safe][None],
+                ok[None],
+                mcfg,
+            )
+            return f, idx, dist, ok, rt[0], inl[0]
+
+        cache[robust] = track
+        self._track_fused_cache = cache
+        return track
+
+    def _track_fused(self, gray, prev: FrameFeatures, pred_extr):
+        """Run the fused step; returns (feats, idx, dist, ok, rt6, inliers)
+        as host arrays (feats keeps device-resident descriptors)."""
+        with self.timers.phase("frontend"):
+            if prev.desc_dev is None:
+                prev.desc_dev = jnp.asarray(prev.desc)
+                prev.valid_dev = jnp.asarray(prev.valid)
+            xyz, okm = self._prev_track
+            robust = self.cfg.estimation == "ba"
+            out = self._track_fused_fn(robust)(
+                jnp.asarray(gray), prev.desc_dev, prev.valid_dev,
+                jnp.asarray(xyz), jnp.asarray(okm),
+                jnp.asarray(pred_extr, jnp.float32),
+            )
+            f = out[0]
+            fh, idx, dist, ok, rt, inl = jax.device_get(out)
+            feats = FrameFeatures(
+                xy=fh.xy, octave=fh.octave, sigma2=fh.sigma2,
+                desc=fh.desc, valid=fh.valid,
+                desc_dev=f.desc, valid_dev=f.valid,
+            )
+            return feats, idx, dist, ok, rt.astype(np.float64), inl
+
+    def _capture_track_state(self, slot, feats):
+        """Host-side capture of the new last frame's per-keypoint landmark
+        state (for the next frame's fused association): positions of the
+        associated landmarks and the well-observed (>=2 obs) mask."""
+        if not (self.cfg.fused_tracking
+                and self.cfg.estimation in ("ba", "pnp")):
+            self._prev_track = None
+            return
+        m = self.map
+        M = len(feats.desc)
+        kp_pt = m.kp_pt[slot, :M].astype(np.int64)
+        has = kp_pt >= 0
+        ok = has.copy()
+        pts = np.nonzero(has)[0]
+        for i in pts:
+            ok[i] = m.point_obs_count(int(kp_pt[i])) >= 2
+        xyz = np.zeros((M, 3), np.float32)
+        xyz[has] = m.pt_pos[kp_pt[has]]
+        self._prev_track = (xyz, ok)
 
     # ------------------------------------------------------------------
     # bundle adjustment wrappers
@@ -849,7 +946,17 @@ class BundleAdjustmentPipeline:
         # frame when tracking, reference frame when awaiting init): one
         # device dispatch instead of two
         prev = self.last_feats if self.initialized else self.ref_feats
-        if prev is not None:
+        fused_rt = fused_inl = assoc_ok = pred_extr = None
+        if (self.initialized and cfg.fused_tracking
+                and cfg.estimation in ("ba", "pnp")
+                and getattr(self, "_prev_track", None) is not None):
+            # fully-fused tracked frame: detect + match + associate +
+            # motion-only BA in one dispatch
+            pred_extr = self._predict_extr()
+            feats, matches, dists, assoc_ok, fused_rt, fused_inl = (
+                self._track_fused(frame.gray, prev, pred_extr)
+            )
+        elif prev is not None:
             feats, matches, dists = self.detect_and_match(frame.gray, prev)
         else:
             feats = self.detect(frame.gray)
@@ -888,6 +995,7 @@ class BundleAdjustmentPipeline:
                 self.initialized = True
                 self.last_slot = slot
                 self.last_feats = feats
+                self._capture_track_state(slot, feats)
                 self.last_extr = m.kf_pose[slot].copy()
                 self.prev_extr = m.kf_pose[self.ref_slot].copy()
                 self.trajectory.append(
@@ -923,16 +1031,24 @@ class BundleAdjustmentPipeline:
         pair_cur = matches[pair_last]
         lp = m.kp_pt[self.last_slot, pair_last]
         has_pt = (lp >= 0) & (dists[pair_last] < cfg.assoc_max_dist)
-        assoc_pt = lp[has_pt].astype(np.int64)
-        assoc_kp = pair_cur[has_pt].astype(np.int64)
-        # only track against landmarks that bundle adjustment can constrain:
-        # 1-observation points (partner frame erased before a second view
-        # confirmed them) are never BA-refined and poison motion-only BA
-        well_obs = np.array(
-            [m.point_obs_count(int(p)) >= 2 for p in assoc_pt], bool
-        ) if len(assoc_pt) else np.zeros(0, bool)
-        assoc_pt = assoc_pt[well_obs]
-        assoc_kp = assoc_kp[well_obs]
+        if assoc_ok is not None:
+            # fused path: the association (incl. the >=2-observations gate)
+            # was evaluated on device from the state captured last frame
+            ok_idx = np.nonzero(assoc_ok)[0]
+            assoc_pt = m.kp_pt[self.last_slot, ok_idx].astype(np.int64)
+            assoc_kp = matches[ok_idx].astype(np.int64)
+        else:
+            assoc_pt = lp[has_pt].astype(np.int64)
+            assoc_kp = pair_cur[has_pt].astype(np.int64)
+            # only track against landmarks that bundle adjustment can
+            # constrain: 1-observation points (partner frame erased before a
+            # second view confirmed them) are never BA-refined and poison
+            # motion-only BA
+            well_obs = np.array(
+                [m.point_obs_count(int(p)) >= 2 for p in assoc_pt], bool
+            ) if len(assoc_pt) else np.zeros(0, bool)
+            assoc_pt = assoc_pt[well_obs]
+            assoc_kp = assoc_kp[well_obs]
 
         # the keyframe/failure ratio is the *association* ratio, computed
         # before pose estimation (reference BundleAdjustment.cpp:129-161)
@@ -941,8 +1057,21 @@ class BundleAdjustmentPipeline:
             self.stats["tracking_failures"] += 1
             return "tracking-lost"
 
-        pred_extr = self._predict_extr()
-        extr, inl = self._estimate_pose(feats, assoc_pt, assoc_kp, pred_extr, matches)
+        if pred_extr is None:
+            pred_extr = self._predict_extr()
+        if fused_rt is not None:
+            # pose estimate already computed inside the fused dispatch
+            if len(assoc_pt) < cfg.min_track_points:
+                extr, inl = pred_extr, np.zeros(len(assoc_pt), bool)
+            else:
+                extr, inl = fused_rt, fused_inl[ok_idx]
+                if cfg.estimation == "pnp" and np.linalg.norm(
+                        extr[3:] - pred_extr[3:]) >= cfg.pnp_translation_guard:
+                    extr, inl = pred_extr, np.zeros(len(assoc_pt), bool)
+        else:
+            extr, inl = self._estimate_pose(
+                feats, assoc_pt, assoc_kp, pred_extr, matches
+            )
 
         # second pass: guided matching against the projected local map, then
         # re-estimate (track-local-map; beyond the reference's last-frame-only
@@ -1006,6 +1135,7 @@ class BundleAdjustmentPipeline:
         self.last_extr = m.kf_pose[slot].copy()
         self.last_slot = slot
         self.last_feats = feats
+        self._capture_track_state(slot, feats)
         return "keyframe" if is_keyframe else "tracked"
 
     def finalize(self):
