@@ -99,3 +99,21 @@ def test_pipeline_pnp_estimation():
     # pnp at coarse resolution: smoke-level bound (accuracy covered by the
     # 320x240 gtdepth test; pnp shares the same motion-only core)
     assert res["rmse"] < 0.06, res
+
+
+def test_fused_tracking_matches_split_dispatches():
+    """The one-dispatch tracked-frame step must produce the same trajectory
+    as the split detect/match/associate/motion-only path (identical math,
+    different fusion)."""
+    kw = dict(n_frames=6, motion_step=0.06)
+    cfg_f = PipelineConfig(init_type="gtdepth", estimation="ba",
+                           n_features=200, n_levels=3, fused_tracking=True)
+    cfg_s = PipelineConfig(init_type="gtdepth", estimation="ba",
+                           n_features=200, n_levels=3, fused_tracking=False)
+    _, pipe_f, _ = run_and_ate(cfg_f, **kw)
+    _, pipe_s, _ = run_and_ate(cfg_s, **kw)
+    ts_f, m_f = pipe_f.trajectory_cam_to_world()
+    ts_s, m_s = pipe_s.trajectory_cam_to_world()
+    assert len(ts_f) == len(ts_s)
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_s),
+                               atol=1e-4)
