@@ -97,6 +97,21 @@ def sample_depth_bilinear(depth, uv):
     return out
 
 
+
+def _pad_pairs_pow2(uv1, uv2, minimum=64):
+    """Pad two matched pixel sets to a shared power-of-two length (+ mask) so
+    RANSAC/triangulation dispatches reuse a handful of jit shapes."""
+    n = len(uv1)
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    a = np.zeros((cap, 2), np.float32)
+    b = np.zeros((cap, 2), np.float32)
+    a[:n] = uv1
+    b[:n] = uv2
+    return a, b, np.arange(cap) < n
+
+
 @dataclass
 class FrameFeatures:
     xy: np.ndarray
@@ -549,9 +564,10 @@ class BundleAdjustmentPipeline:
         n = len(pair_ref)
         if n < self.cfg.min_init_matches:
             return False
+        p1, p2, pv = _pad_pairs_pow2(uv1, uv2)
         res = recover_pose_two_view(
             self._next_key(),
-            jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(n, bool),
+            jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(pv),
             jnp.asarray(self.K4), n_hyp=256,
         )
         if int(res.n_inliers) < max(50, int(0.3 * n)):
@@ -560,18 +576,25 @@ class BundleAdjustmentPipeline:
         m.set_pose(cur_slot, rel)  # ref is identity; extr_cur = rel
 
         # triangulate inlier matches (no baseline check: Initializer.cpp:174)
-        inliers = np.asarray(res.inliers)
-        sel = inliers
+        # reuse the padded pair arrays; mask = RANSAC inliers among real pairs
+        inliers = np.asarray(res.inliers)[: len(p1)]
+        sel = inliers & pv
+        cap = len(p1)
+        s1 = np.ones(cap, np.float32)
+        s2 = np.ones(cap, np.float32)
+        s1[:n] = rf.sigma2[pair_ref]
+        s2[:n] = cur_feats.sigma2[pair_cur]
         pts, ok = triangulate_gated(
             jnp.asarray(self.K4),
             jnp.asarray(m.kf_pose[ref].astype(np.float32)),
             jnp.asarray(rel.astype(np.float32)),
-            jnp.asarray(uv1), jnp.asarray(uv2),
-            jnp.asarray(rf.sigma2[pair_ref]),
-            jnp.asarray(cur_feats.sigma2[pair_cur]),
+            jnp.asarray(p1), jnp.asarray(p2),
+            jnp.asarray(s1),
+            jnp.asarray(s2),
             jnp.asarray(sel),
         )
         pts, ok = jax.device_get((pts, ok))
+        pts, ok = pts[:n], ok[:n]
         cur_img = getattr(self, "_cur_image", None)
         cols = (
             sample_color_bilinear(cur_img, cur_feats.xy[pair_cur])
@@ -634,17 +657,33 @@ class BundleAdjustmentPipeline:
             )
             if np.isfinite(med_depth) and baseline / max(med_depth, 1e-9) < 0.01:
                 return 0
+        # pad the pair count to a power-of-two bucket: raw lengths would jit
+        # a fresh triangulation per distinct match count (a compile storm on
+        # remote-compile TPUs — one per neighbor per keyframe)
+        n_real = len(pair_a)
+        cap = 32
+        while cap < n_real:
+            cap *= 2
+        xa = np.zeros((cap, 2), np.float32)
+        xb = np.zeros((cap, 2), np.float32)
+        sa = np.ones(cap, np.float32)
+        sb = np.ones(cap, np.float32)
+        xa[:n_real] = fa.xy[pair_a]
+        xb[:n_real] = fb.xy[pair_b]
+        sa[:n_real] = fa.sigma2[pair_a]
+        sb[:n_real] = fb.sigma2[pair_b]
         pts, ok = triangulate_gated(
             jnp.asarray(self.K4),
             jnp.asarray(m.kf_pose[slot_a].astype(np.float32)),
             jnp.asarray(m.kf_pose[slot_b].astype(np.float32)),
-            jnp.asarray(fa.xy[pair_a]),
-            jnp.asarray(fb.xy[pair_b]),
-            jnp.asarray(fa.sigma2[pair_a]),
-            jnp.asarray(fb.sigma2[pair_b]),
-            jnp.ones(len(pair_a), bool),
+            jnp.asarray(xa),
+            jnp.asarray(xb),
+            jnp.asarray(sa),
+            jnp.asarray(sb),
+            jnp.asarray(np.arange(cap) < n_real),
         )
         pts, ok = jax.device_get((pts, ok))
+        pts, ok = pts[:n_real], ok[:n_real]
         center_b = np_se3.rt6_inverse(m.kf_pose[slot_b])[3:]
         colors = None
         if image is not None:
@@ -915,11 +954,13 @@ class BundleAdjustmentPipeline:
             n = len(pair_last)
             if n < 30:
                 return pred_extr, np.zeros(len(assoc_pt), bool)
+            p1, p2, pv = _pad_pairs_pow2(lf.xy[pair_last],
+                                         cur_feats.xy[pair_cur])
             res = recover_pose_two_view(
                 self._next_key(),
-                jnp.asarray(lf.xy[pair_last]),
-                jnp.asarray(cur_feats.xy[pair_cur]),
-                jnp.ones(n, bool),
+                jnp.asarray(p1),
+                jnp.asarray(p2),
+                jnp.asarray(pv),
                 jnp.asarray(self.K4),
                 n_hyp=256,
             )
