@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from functools import partial
 
 import numpy as np
 import jax
@@ -96,6 +97,67 @@ def sample_depth_bilinear(depth, uv):
     out = np.where(ok & (val > 0), val, np.nan)
     return out
 
+
+
+def _match_prev(f, prev_desc, prev_valid, ratio, use_pallas):
+    if use_pallas:
+        return match_descriptors_fused(
+            prev_desc, f.desc, valid_a=prev_valid, valid_b=f.valid, ratio=ratio
+        )
+    return match_descriptors(
+        prev_desc, f.desc, valid_a=prev_valid, valid_b=f.valid,
+        metric="hamming", ratio=ratio,
+    )
+
+
+@partial(jax.jit, static_argnames=("feat_cfg", "ratio", "use_pallas"))
+def _frontend_jit(gray, prev_desc, prev_valid, *, feat_cfg, ratio, use_pallas):
+    """Fused detect+match: one device dispatch per tracked frame.
+
+    Module-level (config as static args) so every pipeline instance with the
+    same config shares one compilation — per-instance closures would retrace
+    and recompile for each new pipeline.
+    """
+    f = detect_and_describe(gray, feat_cfg)
+    idx, dist = _match_prev(f, prev_desc, prev_valid, ratio, use_pallas)
+    return f, idx, dist
+
+
+@partial(jax.jit, static_argnames=("feat_cfg", "ratio", "use_pallas",
+                                   "assoc_max", "mcfg"))
+def _track_fused_jit(gray, prev_desc, prev_valid, prev_xyz, prev_ok,
+                     pred_extr, K4, *, feat_cfg, ratio, use_pallas,
+                     assoc_max, mcfg):
+    """Fused tracked-frame step: detect + match + landmark association +
+    motion-only BA in ONE dispatch.
+
+    The association uses per-keypoint landmark state of the previous frame
+    (positions + trackability mask) captured on the host at the end of the
+    previous frame — so the whole per-frame device work runs without an
+    intermediate host round-trip.
+    """
+    f = detect_and_describe(gray, feat_cfg)
+    idx, dist = _match_prev(f, prev_desc, prev_valid, ratio, use_pallas)
+    safe = jnp.clip(idx, 0, None)
+    ok = (idx >= 0) & prev_ok & (dist < assoc_max)
+    rt, inl = motion_only_ba(
+        K4,
+        pred_extr[None].astype(jnp.float32),
+        prev_xyz[None],
+        f.xy[safe][None],
+        f.sigma2[safe][None],
+        ok[None],
+        mcfg,
+    )
+    return f, idx, dist, ok, rt[0], inl[0]
+
+
+@jax.jit
+def _tri_batch_jit(K4, extr_a, extr_b, xa, xb, sa, sb, valid):
+    """Gated triangulation vmapped over a neighbor axis (extr_a shared)."""
+    return jax.vmap(
+        triangulate_gated, in_axes=(None, None, 0, 0, 0, 0, 0, 0)
+    )(K4, extr_a, extr_b, xa, xb, sa, sb, valid)
 
 
 def _pad_pairs_pow2(uv1, uv2, minimum=64):
@@ -202,38 +264,6 @@ class BundleAdjustmentPipeline:
             valid_dev=f.valid,
         )
 
-    def _frontend_fn(self):
-        """Jitted fused detect+match: one device dispatch per tracked frame.
-
-        The per-dispatch relay latency of a tunneled TPU (~30-60 ms) makes
-        every round-trip count; fusing detection of the current frame with
-        matching against the previous frame's (device-resident) descriptors
-        removes one dispatch and two host<->device descriptor copies.
-        """
-        if getattr(self, "_frontend_cache", None) is not None:
-            return self._frontend_cache
-        feat_cfg = self.feat_cfg
-        ratio = self.cfg.match_ratio
-        use_pallas = self._use_pallas_matcher
-
-        @jax.jit
-        def frontend(gray, prev_desc, prev_valid):
-            f = detect_and_describe(gray, feat_cfg)
-            if use_pallas:
-                idx, dist = match_descriptors_fused(
-                    prev_desc, f.desc, valid_a=prev_valid, valid_b=f.valid,
-                    ratio=ratio,
-                )
-            else:
-                idx, dist = match_descriptors(
-                    prev_desc, f.desc, valid_a=prev_valid, valid_b=f.valid,
-                    metric="hamming", ratio=ratio,
-                )
-            return f, idx, dist
-
-        self._frontend_cache = frontend
-        return frontend
-
     def detect_and_match(self, gray, prev: FrameFeatures):
         """Fused detect(current) + match(prev->current).
 
@@ -243,8 +273,10 @@ class BundleAdjustmentPipeline:
             if prev.desc_dev is None:
                 prev.desc_dev = jnp.asarray(prev.desc)
                 prev.valid_dev = jnp.asarray(prev.valid)
-            f, idx, dist = self._frontend_fn()(
-                jnp.asarray(gray), prev.desc_dev, prev.valid_dev
+            f, idx, dist = _frontend_jit(
+                jnp.asarray(gray), prev.desc_dev, prev.valid_dev,
+                feat_cfg=self.feat_cfg, ratio=self.cfg.match_ratio,
+                use_pallas=self._use_pallas_matcher,
             )
             # one batched device->host fetch: serial np.asarray per array
             # costs a full relay round-trip each (~20 ms) on a tunneled TPU
@@ -260,59 +292,6 @@ class BundleAdjustmentPipeline:
             )
             return feats, idx_h, dist_h
 
-    def _track_fused_fn(self, robust):
-        """Jitted fused tracked-frame step: detect + match + landmark
-        association + motion-only BA in ONE dispatch.
-
-        The association uses per-keypoint landmark state of the previous
-        frame (positions + trackability mask) captured on the host at the
-        end of the previous frame — so the whole per-frame device work runs
-        without an intermediate host round-trip.
-        """
-        cache = getattr(self, "_track_fused_cache", {})
-        if robust in cache:
-            return cache[robust]
-        feat_cfg = self.feat_cfg
-        ratio = self.cfg.match_ratio
-        use_pallas = self._use_pallas_matcher
-        assoc_max = self.cfg.assoc_max_dist
-        mcfg = MotionOnlyConfig(
-            outer_iters=self.cfg.motion_outer,
-            inner_iters=self.cfg.motion_inner,
-            robust=robust,
-        )
-        K4 = jnp.asarray(self.K4)
-
-        @jax.jit
-        def track(gray, prev_desc, prev_valid, prev_xyz, prev_ok, pred_extr):
-            f = detect_and_describe(gray, feat_cfg)
-            if use_pallas:
-                idx, dist = match_descriptors_fused(
-                    prev_desc, f.desc, valid_a=prev_valid, valid_b=f.valid,
-                    ratio=ratio,
-                )
-            else:
-                idx, dist = match_descriptors(
-                    prev_desc, f.desc, valid_a=prev_valid, valid_b=f.valid,
-                    metric="hamming", ratio=ratio,
-                )
-            safe = jnp.clip(idx, 0, None)
-            ok = (idx >= 0) & prev_ok & (dist < assoc_max)
-            rt, inl = motion_only_ba(
-                K4,
-                pred_extr[None].astype(jnp.float32),
-                prev_xyz[None],
-                f.xy[safe][None],
-                f.sigma2[safe][None],
-                ok[None],
-                mcfg,
-            )
-            return f, idx, dist, ok, rt[0], inl[0]
-
-        cache[robust] = track
-        self._track_fused_cache = cache
-        return track
-
     def _track_fused(self, gray, prev: FrameFeatures, pred_extr):
         """Run the fused step; returns (feats, idx, dist, ok, rt6, inliers)
         as host arrays (feats keeps device-resident descriptors)."""
@@ -321,11 +300,19 @@ class BundleAdjustmentPipeline:
                 prev.desc_dev = jnp.asarray(prev.desc)
                 prev.valid_dev = jnp.asarray(prev.valid)
             xyz, okm = self._prev_track
-            robust = self.cfg.estimation == "ba"
-            out = self._track_fused_fn(robust)(
+            mcfg = MotionOnlyConfig(
+                outer_iters=self.cfg.motion_outer,
+                inner_iters=self.cfg.motion_inner,
+                robust=self.cfg.estimation == "ba",
+            )
+            out = _track_fused_jit(
                 jnp.asarray(gray), prev.desc_dev, prev.valid_dev,
                 jnp.asarray(xyz), jnp.asarray(okm),
                 jnp.asarray(pred_extr, jnp.float32),
+                jnp.asarray(self.K4),
+                feat_cfg=self.feat_cfg, ratio=self.cfg.match_ratio,
+                use_pallas=self._use_pallas_matcher,
+                assoc_max=self.cfg.assoc_max_dist, mcfg=mcfg,
             )
             f = out[0]
             fh, idx, dist, ok, rt, inl = jax.device_get(out)
@@ -628,6 +615,58 @@ class BundleAdjustmentPipeline:
     # triangulation of new landmarks at keyframes
     # ------------------------------------------------------------------
 
+    def _tri_precondition_ok(self, slot_a, slot_b):
+        """Baseline / median-scene-depth >= 0.01 precondition (reference
+        SfMHelper.cpp:763-771) — tiny-baseline pairs triangulate garbage."""
+        m = self.map
+        tracked = m.kp_pt[slot_b, : m.kf_nkp[slot_b]]
+        tracked = tracked[tracked >= 0]
+        if len(tracked) < 5:
+            return True
+        extr_b = m.kf_pose[slot_b]
+        R_b = np_se3.aa_to_R(extr_b[:3])
+        z = m.pt_pos[tracked].astype(np.float64) @ R_b[2] + extr_b[5]
+        med_depth = float(np.median(z[z > 0])) if (z > 0).any() else np.inf
+        baseline = np.linalg.norm(
+            np_se3.rt6_inverse(m.kf_pose[slot_a])[3:]
+            - np_se3.rt6_inverse(extr_b)[3:]
+        )
+        return not (np.isfinite(med_depth)
+                    and baseline / max(med_depth, 1e-9) < 0.01)
+
+    def _create_triangulated(self, slot_a, slot_b, fa, fb, pair_a, pair_b,
+                             pts, ok, image=None, image_side="b",
+                             recheck=False):
+        """Insert accepted triangulations as landmarks (+obs, scale bounds,
+        reference color).  recheck: skip pairs whose keypoints gained a
+        landmark since the candidate set was collected (batched paths)."""
+        m = self.map
+        center_b = np_se3.rt6_inverse(m.kf_pose[slot_b])[3:]
+        colors = None
+        if image is not None:
+            kp_xy = fa.xy[pair_a] if image_side == "a" else fb.xy[pair_b]
+            colors = sample_color_bilinear(image, kp_xy)
+        n = 0
+        for i in np.nonzero(ok)[0]:
+            if recheck and (m.kp_pt[slot_a, pair_a[i]] >= 0
+                            or m.kp_pt[slot_b, pair_b[i]] >= 0):
+                continue
+            pt = m.add_point(pts[i], desc=fb.desc[pair_b[i]], first_kf=self.kf_counter)
+            if m.add_observation(pt, slot_a, int(pair_a[i])) != 1:
+                m.erase_point(pt)
+                continue
+            if m.add_observation(pt, slot_b, int(pair_b[i])) != 1:
+                m.erase_point(pt)
+                continue
+            m.set_point_scale_bounds(
+                pt, np.linalg.norm(pts[i] - center_b), fb.octave[pair_b[i]],
+                self.cfg.scale_factor, self.cfg.n_levels,
+            )
+            if colors is not None:
+                m.pt_color[pt] = colors[i]
+            n += 1
+        return n
+
     def _triangulate_pairs(self, slot_a, slot_b, fa, fb, matches,
                            exclude_with_points=True, image=None,
                            image_side="b"):
@@ -641,22 +680,8 @@ class BundleAdjustmentPipeline:
             pair_a, pair_b = pair_a[free], pair_b[free]
         if len(pair_a) == 0:
             return 0
-
-        # precondition: baseline / median-scene-depth >= 0.01 (reference
-        # SfMHelper.cpp:763-771) — tiny-baseline pairs triangulate garbage
-        tracked = m.kp_pt[slot_b, : m.kf_nkp[slot_b]]
-        tracked = tracked[tracked >= 0]
-        if len(tracked) >= 5:
-            extr_b = m.kf_pose[slot_b]
-            R_b = np_se3.aa_to_R(extr_b[:3])
-            z = m.pt_pos[tracked].astype(np.float64) @ R_b[2] + extr_b[5]
-            med_depth = float(np.median(z[z > 0])) if (z > 0).any() else np.inf
-            baseline = np.linalg.norm(
-                np_se3.rt6_inverse(m.kf_pose[slot_a])[3:]
-                - np_se3.rt6_inverse(extr_b)[3:]
-            )
-            if np.isfinite(med_depth) and baseline / max(med_depth, 1e-9) < 0.01:
-                return 0
+        if not self._tri_precondition_ok(slot_a, slot_b):
+            return 0
         # pad the pair count to a power-of-two bucket: raw lengths would jit
         # a fresh triangulation per distinct match count (a compile storm on
         # remote-compile TPUs — one per neighbor per keyframe)
@@ -684,27 +709,60 @@ class BundleAdjustmentPipeline:
         )
         pts, ok = jax.device_get((pts, ok))
         pts, ok = pts[:n_real], ok[:n_real]
-        center_b = np_se3.rt6_inverse(m.kf_pose[slot_b])[3:]
-        colors = None
-        if image is not None:
-            kp_xy = fa.xy[pair_a] if image_side == "a" else fb.xy[pair_b]
-            colors = sample_color_bilinear(image, kp_xy)
+        return self._create_triangulated(
+            slot_a, slot_b, fa, fb, pair_a, pair_b, pts, ok,
+            image=image, image_side=image_side,
+        )
+
+    def _triangulate_neighbors(self, kf, feats, jobs, image=None):
+        """Batched neighborhood triangulation: ONE vmapped dispatch over all
+        neighbors' new-pair sets instead of one dispatch per neighbor.
+
+        jobs: list of (nb_slot, pair_kf, pair_nb, nb_feats).  Landmark
+        creation runs afterwards in neighbor order with a staleness recheck,
+        matching the inline-per-neighbor semantics.
+        """
+        m = self.map
+        jobs = [j for j in jobs
+                if len(j[1]) and self._tri_precondition_ok(kf, j[0])]
+        if not jobs:
+            return 0
+        P = 32
+        pmax = max(len(j[1]) for j in jobs)
+        while P < pmax:
+            P *= 2
+        NB = 1
+        while NB < len(jobs):
+            NB *= 2
+        extr_b = np.zeros((NB, 6), np.float32)
+        extr_b[:, :] = m.kf_pose[kf]  # dummy rows: degenerate, masked off
+        xa = np.zeros((NB, P, 2), np.float32)
+        xb = np.zeros((NB, P, 2), np.float32)
+        sa = np.ones((NB, P), np.float32)
+        sb = np.ones((NB, P), np.float32)
+        vd = np.zeros((NB, P), bool)
+        for bi, (nb, pa, pb, nf) in enumerate(jobs):
+            k = len(pa)
+            extr_b[bi] = m.kf_pose[nb]
+            xa[bi, :k] = feats.xy[pa]
+            xb[bi, :k] = nf.xy[pb]
+            sa[bi, :k] = feats.sigma2[pa]
+            sb[bi, :k] = nf.sigma2[pb]
+            vd[bi, :k] = True
+        pts, ok = _tri_batch_jit(
+            jnp.asarray(self.K4),
+            jnp.asarray(m.kf_pose[kf].astype(np.float32)),
+            jnp.asarray(extr_b), jnp.asarray(xa), jnp.asarray(xb),
+            jnp.asarray(sa), jnp.asarray(sb), jnp.asarray(vd),
+        )
+        pts, ok = jax.device_get((pts, ok))
         n = 0
-        for i in np.nonzero(ok)[0]:
-            pt = m.add_point(pts[i], desc=fb.desc[pair_b[i]], first_kf=self.kf_counter)
-            if m.add_observation(pt, slot_a, int(pair_a[i])) != 1:
-                m.erase_point(pt)
-                continue
-            if m.add_observation(pt, slot_b, int(pair_b[i])) != 1:
-                m.erase_point(pt)
-                continue
-            m.set_point_scale_bounds(
-                pt, np.linalg.norm(pts[i] - center_b), fb.octave[pair_b[i]],
-                self.cfg.scale_factor, self.cfg.n_levels,
+        for bi, (nb, pa, pb, nf) in enumerate(jobs):
+            k = len(pa)
+            n += self._create_triangulated(
+                kf, nb, feats, nf, pa, pb, pts[bi, :k], ok[bi, :k],
+                image=image, image_side="a", recheck=True,
             )
-            if colors is not None:
-                m.pt_color[pt] = colors[i]
-            n += 1
         return n
 
     # ------------------------------------------------------------------
@@ -804,6 +862,7 @@ class BundleAdjustmentPipeline:
             idx_all = np.asarray(idx_all)
 
         n_fused = n_transfer = n_tri = 0
+        tri_jobs = []
         for bi, nb in enumerate(neighborhood):
             nf = FrameFeatures(
                 xy=m.kp_xy[nb, : m.kf_nkp[nb]],
@@ -838,15 +897,16 @@ class BundleAdjustmentPipeline:
             for i in cur_only[gate2]:
                 if m.add_observation(int(pt_cur[i]), nb, int(kp_nb[i])) == 1:
                     n_transfer += 1
-            # triangulate brand-new pairs
+            # collect brand-new pairs; triangulated in ONE batched dispatch
+            # after the loop (staleness handled by _create_triangulated)
             none_have = (pt_cur < 0) & (pt_nb < 0)
             if none_have.any():
-                matches_vec = np.full(len(feats.xy), -1, np.int64)
-                matches_vec[kp_cur[none_have]] = kp_nb[none_have]
-                n_tri += self._triangulate_pairs(
-                    kf, nb, feats, nf, matches_vec,
-                    image=getattr(self, "_cur_image", None), image_side="a",
+                tri_jobs.append(
+                    (nb, kp_cur[none_have], kp_nb[none_have], nf)
                 )
+        n_tri = self._triangulate_neighbors(
+            kf, feats, tri_jobs, image=getattr(self, "_cur_image", None)
+        )
         return {"fused": n_fused, "transferred": n_transfer, "triangulated": n_tri}
 
     # ------------------------------------------------------------------
