@@ -210,6 +210,18 @@ class SceneMap:
     def point_obs_count(self, pt):
         return self._lib.map_point_obs_count(self._h, pt)
 
+    def point_obs_counts(self, pt_ids):
+        """Batched observation counts (one native call; invalid ids -> 0)."""
+        ids = np.ascontiguousarray(np.asarray(pt_ids, np.int32))
+        out = np.empty(len(ids), np.int32)
+        self._lib.map_point_obs_counts(
+            self._h,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(ids),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
+
     def point_observations(self, pt, cap=256):
         kfs = np.empty(cap, np.int32)
         kps = np.empty(cap, np.int32)

@@ -65,6 +65,7 @@ def _declare(lib):
         "map_fuse_points": ([ctypes.c_void_p, c_i32, c_i32], None),
         "map_set_outlier": ([ctypes.c_void_p, c_i32, c_i32, c_i32], None),
         "map_point_obs_count": ([ctypes.c_void_p, c_i32], c_i32),
+        "map_point_obs_counts": ([ctypes.c_void_p, P(c_i32), c_i32, P(c_i32)], None),
         "map_update_covisibility": ([ctypes.c_void_p, c_i32, c_i32], None),
         "map_best_covisible": ([ctypes.c_void_p, c_i32, c_i32, P(c_i32), P(c_i32)], c_i32),
         "map_cull_recent_points": (

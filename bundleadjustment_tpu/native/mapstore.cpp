@@ -250,6 +250,13 @@ int32_t map_point_obs_count(const MapStore* m, int32_t pt) {
   return (int32_t)m->pt_obs[pt].size();
 }
 
+// batched variant: one FFI crossing for a whole id array (the per-frame
+// fused-tracking capture queries every keypoint's landmark)
+void map_point_obs_counts(const MapStore* m, const int32_t* ids, int32_t n,
+                          int32_t* out) {
+  for (int32_t i = 0; i < n; ++i) out[i] = map_point_obs_count(m, ids[i]);
+}
+
 // ---------------------------------------------------------------------------
 // covisibility — reference Frame::updateCovisibilityGraph
 // (src/model/Frame.cpp:292-374): count shared landmarks, keep edges with

@@ -124,10 +124,10 @@ def _frontend_jit(gray, prev_desc, prev_valid, *, feat_cfg, ratio, use_pallas):
 
 
 @partial(jax.jit, static_argnames=("feat_cfg", "ratio", "use_pallas",
-                                   "assoc_max", "mcfg"))
+                                   "assoc_max", "mcfg", "max_obs"))
 def _track_fused_jit(gray, prev_desc, prev_valid, prev_xyz, prev_ok,
                      pred_extr, K4, *, feat_cfg, ratio, use_pallas,
-                     assoc_max, mcfg):
+                     assoc_max, mcfg, max_obs):
     """Fused tracked-frame step: detect + match + landmark association +
     motion-only BA in ONE dispatch.
 
@@ -140,6 +140,8 @@ def _track_fused_jit(gray, prev_desc, prev_valid, prev_xyz, prev_ok,
     idx, dist = _match_prev(f, prev_desc, prev_valid, ratio, use_pallas)
     safe = jnp.clip(idx, 0, None)
     ok = (idx >= 0) & prev_ok & (dist < assoc_max)
+    # honor cfg.max_track_obs like the split path (first-N truncation)
+    ok = ok & (jnp.cumsum(ok) <= max_obs)
     rt, inl = motion_only_ba(
         K4,
         pred_extr[None].astype(jnp.float32),
@@ -160,13 +162,20 @@ def _tri_batch_jit(K4, extr_a, extr_b, xa, xb, sa, sb, valid):
     )(K4, extr_a, extr_b, xa, xb, sa, sb, valid)
 
 
+def _pow2(n, minimum):
+    """Smallest power-of-two bucket >= max(n, minimum) — the single place
+    that defines the jit-shape bucketing policy for variable-length work."""
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    return cap
+
+
 def _pad_pairs_pow2(uv1, uv2, minimum=64):
     """Pad two matched pixel sets to a shared power-of-two length (+ mask) so
     RANSAC/triangulation dispatches reuse a handful of jit shapes."""
     n = len(uv1)
-    cap = minimum
-    while cap < n:
-        cap *= 2
+    cap = _pow2(n, minimum)
     a = np.zeros((cap, 2), np.float32)
     b = np.zeros((cap, 2), np.float32)
     a[:n] = uv1
@@ -313,6 +322,7 @@ class BundleAdjustmentPipeline:
                 feat_cfg=self.feat_cfg, ratio=self.cfg.match_ratio,
                 use_pallas=self._use_pallas_matcher,
                 assoc_max=self.cfg.assoc_max_dist, mcfg=mcfg,
+                max_obs=self.cfg.max_track_obs,
             )
             f = out[0]
             fh, idx, dist, ok, rt, inl = jax.device_get(out)
@@ -335,10 +345,7 @@ class BundleAdjustmentPipeline:
         M = len(feats.desc)
         kp_pt = m.kp_pt[slot, :M].astype(np.int64)
         has = kp_pt >= 0
-        ok = has.copy()
-        pts = np.nonzero(has)[0]
-        for i in pts:
-            ok[i] = m.point_obs_count(int(kp_pt[i])) >= 2
+        ok = has & (m.point_obs_counts(kp_pt) >= 2)
         xyz = np.zeros((M, 3), np.float32)
         xyz[has] = m.pt_pos[kp_pt[has]]
         self._prev_track = (xyz, ok)
@@ -686,9 +693,7 @@ class BundleAdjustmentPipeline:
         # a fresh triangulation per distinct match count (a compile storm on
         # remote-compile TPUs — one per neighbor per keyframe)
         n_real = len(pair_a)
-        cap = 32
-        while cap < n_real:
-            cap *= 2
+        cap = _pow2(n_real, 32)
         xa = np.zeros((cap, 2), np.float32)
         xb = np.zeros((cap, 2), np.float32)
         sa = np.ones(cap, np.float32)
@@ -727,13 +732,8 @@ class BundleAdjustmentPipeline:
                 if len(j[1]) and self._tri_precondition_ok(kf, j[0])]
         if not jobs:
             return 0
-        P = 32
-        pmax = max(len(j[1]) for j in jobs)
-        while P < pmax:
-            P *= 2
-        NB = 1
-        while NB < len(jobs):
-            NB *= 2
+        P = _pow2(max(len(j[1]) for j in jobs), 32)
+        NB = _pow2(len(jobs), 1)
         extr_b = np.zeros((NB, 6), np.float32)
         extr_b[:, :] = m.kf_pose[kf]  # dummy rows: degenerate, masked off
         xa = np.zeros((NB, P, 2), np.float32)
@@ -763,6 +763,16 @@ class BundleAdjustmentPipeline:
                 kf, nb, feats, nf, pa, pb, pts[bi, :k], ok[bi, :k],
                 image=image, image_side="a", recheck=True,
             )
+            # pairs whose kf keypoint gained a landmark from an EARLIER
+            # neighbor's job: the inline-per-neighbor code would have taken
+            # the cur_only transfer branch for them — do the same here so
+            # cross-neighbor observations aren't lost to the recheck
+            pt_now = m.kp_pt[kf, pa]
+            stale = np.nonzero((pt_now >= 0) & (m.kp_pt[nb, pb] < 0))[0]
+            if len(stale):
+                gate = self._transfer_gate(pt_now[stale], nb, pb[stale])
+                for i in stale[gate]:
+                    m.add_observation(int(pt_now[i]), nb, int(pb[i]))
         return n
 
     # ------------------------------------------------------------------
@@ -841,9 +851,7 @@ class BundleAdjustmentPipeline:
         from bundleadjustment_tpu.ops.matching import match_descriptors_batch
 
         n_nb = len(neighborhood)
-        nb_bucket = 4
-        while nb_bucket < n_nb:
-            nb_bucket *= 2
+        nb_bucket = _pow2(n_nb, 4)
         descs_b = np.zeros((nb_bucket, m.max_kp, m.desc_words), np.uint32)
         valids_b = np.zeros((nb_bucket, m.max_kp), bool)
         for bi, nb in enumerate(neighborhood):
@@ -952,9 +960,7 @@ class BundleAdjustmentPipeline:
         kp_free[assoc_kp] = False
         # pad candidates to a power-of-two bucket for stable jit shapes
         n_cand = len(cand)
-        nb = 64
-        while nb < n_cand:
-            nb *= 2
+        nb = _pow2(n_cand, 64)
         desc_pad = np.zeros((nb, m.desc_words), np.uint32)
         desc_pad[:n_cand] = m.pt_desc[cand]
         valid_a = np.zeros(nb, bool)
@@ -1145,9 +1151,10 @@ class BundleAdjustmentPipeline:
             # constrain: 1-observation points (partner frame erased before a
             # second view confirmed them) are never BA-refined and poison
             # motion-only BA
-            well_obs = np.array(
-                [m.point_obs_count(int(p)) >= 2 for p in assoc_pt], bool
-            ) if len(assoc_pt) else np.zeros(0, bool)
+            well_obs = (
+                m.point_obs_counts(assoc_pt) >= 2
+                if len(assoc_pt) else np.zeros(0, bool)
+            )
             assoc_pt = assoc_pt[well_obs]
             assoc_kp = assoc_kp[well_obs]
 

@@ -184,3 +184,18 @@ def test_refresh_point_descriptor(small_map):
     # representative descriptor is one of the observed descriptors
     descs = [m.kp_desc[k, kp] for k, kp in zip(kfs, [0, 1, 2])]
     assert any(np.array_equal(m.pt_desc[pt], d) for d in descs)
+
+
+def test_point_obs_counts_batched(small_map):
+    m = small_map
+    s0 = add_simple_frame(m, 0.0)
+    s1 = add_simple_frame(m, 1.0)
+    p0 = m.add_point(np.array([0.0, 0.0, 1.0]))
+    p1 = m.add_point(np.array([0.0, 1.0, 1.0]))
+    m.add_observation(p0, s0, 0)
+    m.add_observation(p0, s1, 0)
+    m.add_observation(p1, s0, 1)
+    counts = m.point_obs_counts(np.array([p0, p1, -1, 999]))
+    assert list(counts) == [2, 1, 0, 0]
+    # matches the scalar accessor
+    assert counts[0] == m.point_obs_count(p0)
