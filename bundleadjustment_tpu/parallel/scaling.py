@@ -29,6 +29,7 @@ def measure_scaling(
     weak=False,
     seed=0,
     layout="dense",
+    solver="dense",
 ):
     """Returns {"per_device": [...], "efficiency": [...], ...}.
 
@@ -60,7 +61,7 @@ def measure_scaling(
         cam_fixed = np.zeros(n_cams, bool)
         cam_fixed[0] = True
         mesh = Mesh(np.array(devs[:d]), (AXIS,))
-        cfg = LMConfig(max_iters=lm_iters, solver="pcg", pcg_iters=pcg_iters)
+        cfg = LMConfig(max_iters=lm_iters, solver=solver, pcg_iters=pcg_iters)
 
         if layout == "dense":
             prob, pts_sharded, _, _ = shard_dense_problem(
