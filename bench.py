@@ -90,10 +90,11 @@ def time_solve(device, sc, dense, repeats=3, layout="dense"):
 
     def run():
         cams, pts, info = solve()
-        # device->host fetch forces completion even where block_until_ready
-        # is unreliable (experimental platforms); ~120 KB, negligible
-        np.asarray(cams)
-        np.asarray(pts)
+        # one batched device->host fetch forces completion even where
+        # block_until_ready is unreliable (experimental platforms); ~120 KB,
+        # negligible — but serial per-array fetches would each pay a relay
+        # round-trip on a tunneled TPU
+        jax.device_get((cams, pts))
         return info
 
     info = run()  # compile + warm
