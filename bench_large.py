@@ -44,8 +44,7 @@ def main():
         cams, pts, info = dense_ba_solve(
             dense, jnp.asarray(sc.extr_init), jnp.asarray(sc.points_init), cfg
         )
-        np.asarray(cams)
-        np.asarray(pts)
+        jax.device_get((cams, pts))  # one batched completion fetch
         return info
 
     info = run()
