@@ -53,6 +53,11 @@ def build_parser():
     p.add_argument("--n-features", type=int, default=1000)
     p.add_argument("--n-levels", type=int, default=8)
     p.add_argument("--ba-solver", choices=["dense", "pcg"], default="dense")
+    p.add_argument("--matcher", choices=["auto", "pallas", "xla"],
+                   default="auto", help="descriptor matcher backend (auto: "
+                   "fused Pallas kernel on TPU, XLA elsewhere)")
+    p.add_argument("--no-fused-tracking", action="store_true", default=False,
+                   help="run detect/match/BA as separate dispatches")
     p.add_argument("--ba-layout", choices=["flat", "dense_landmark"],
                    default="flat",
                    help="BA data layout: flat observation table, or the "
@@ -123,6 +128,8 @@ def main(argv=None):
         n_levels=args.n_levels,
         ba_solver=args.ba_solver,
         ba_layout=args.ba_layout,
+        matcher=args.matcher,
+        fused_tracking=not args.no_fused_tracking,
         seed=args.seed,
         verbose=args.verbose,
     )
