@@ -43,6 +43,9 @@ class TwoViewResult(NamedTuple):
     score_ratio: jnp.ndarray  # SH / (SH + SE)
     E: jnp.ndarray  # [3,3] best essential
     H: jnp.ndarray  # [3,3] best homography
+    ok: jnp.ndarray  # bool: recovery succeeded (reference returns false
+    #   when the E-path has <= min_e_inliers cheirality-positive points or
+    #   the H decomposition keeps no candidate, SfMHelper.cpp:653-659,715-722)
 
 
 # ---------------------------------------------------------------------------
@@ -408,7 +411,11 @@ def recover_pose_two_view(
 
     Mirrors the reference decision procedure (`SfMHelper.cpp:642-659`): compute
     both E and H scores; if SH/(SH+SE) > 0.4 use the homography decomposition,
-    else use essential (requiring > min_e_inliers inliers — the 'ok' flag).
+    else use essential.  `ok` is False when the chosen model fails the
+    reference's acceptance: E-path with <= min_e_inliers cheirality-positive
+    inliers (`SfMHelper.cpp:653-659`) or an H decomposition with no surviving
+    candidate (`:715-722`) — callers fall back (const-velocity / failed init)
+    exactly as `SfMHelper::estimatePose` does at `:144-146`.
 
     Returns TwoViewResult; `rt6` maps frame-1 camera coords to frame-2 camera
     coords (chain with the previous pose at the call site, as the reference
@@ -426,6 +433,7 @@ def recover_pose_two_view(
     rt = jnp.where(use_h, rt_h, rt_e)
     good = jnp.where(use_h, good_h, good_e)
     n_good = jnp.where(use_h, n_h, n_e)
+    ok = jnp.where(use_h, n_h > 0, n_e > min_e_inliers)
     return TwoViewResult(
         rt6=rt,
         inliers=good,
@@ -434,4 +442,5 @@ def recover_pose_two_view(
         score_ratio=ratio,
         E=E,
         H=H,
+        ok=ok,
     )

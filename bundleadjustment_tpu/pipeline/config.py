@@ -70,7 +70,9 @@ class PipelineConfig:
     # BundleAdjustment.cpp:196-207,228-230; motion-only 4x20 SfMHelper.cpp:112)
     kf_ba_iters: int = 10
     final_ba_outer: int = 3
-    final_ba_iters: int = 30
+    final_ba_iters: int = 100  # reference: 3 outer x 100 Ceres iterations
+    #   (BundleAdjustment.cpp:228-230); the LM scan early-freezes converged
+    #   iterations so the extra tail is nearly free on TPU
     motion_outer: int = 4
     motion_inner: int = 10
     ba_solver: str = "dense"  # "dense" | "pcg"; pcg for big maps

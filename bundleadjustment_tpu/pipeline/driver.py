@@ -559,12 +559,14 @@ class BundleAdjustmentPipeline:
         if n < self.cfg.min_init_matches:
             return False
         p1, p2, pv = _pad_pairs_pow2(uv1, uv2)
-        res = recover_pose_two_view(
+        res = jax.device_get(recover_pose_two_view(
             self._next_key(),
             jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(pv),
             jnp.asarray(self.K4), n_hyp=256,
-        )
-        if int(res.n_inliers) < max(50, int(0.3 * n)):
+        ))
+        # reference acceptance (>100 E inliers / non-empty H decomposition,
+        # SfMHelper.cpp:653-659) plus a relative-support guard for small n
+        if not bool(res.ok) or int(res.n_inliers) < max(50, int(0.3 * n)):
             return False
         rel = np.asarray(res.rt6, np.float64)
         m.set_pose(cur_slot, rel)  # ref is identity; extr_cur = rel
@@ -988,6 +990,25 @@ class BundleAdjustmentPipeline:
             np.concatenate([assoc_kp, new_kp.astype(np.int64)]),
         )
 
+    def _reproj_gate(self, extr, assoc_pt, assoc_kp, feats):
+        """Cheirality + chi2 < 5.991 acceptance of 2D-3D associations against
+        a pose estimate (the reference's pruneCorrespondences criterion,
+        Optimizer.cpp:6-79, applied before observation writes)."""
+        if len(assoc_pt) == 0:
+            return np.zeros(0, bool)
+        X = self.map.pt_pos[assoc_pt].astype(np.float64)
+        R = np_se3.aa_to_R(extr[:3])
+        xc = X @ R.T + extr[3:]
+        z = xc[:, 2]
+        zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        K = self.K4
+        u = K[0] * xc[:, 0] / zs + K[2]
+        v = K[1] * xc[:, 1] / zs + K[3]
+        uv = feats.xy[assoc_kp]
+        sig2 = np.maximum(feats.sigma2[assoc_kp], 1e-12)
+        chi2 = ((u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2) / sig2
+        return (z > 0) & (chi2 < 5.991)
+
     def _predict_extr(self):
         """Constant-velocity model (reference SfMHelper.cpp:894-972)."""
         if self.prev_extr is None:
@@ -1022,14 +1043,19 @@ class BundleAdjustmentPipeline:
                 return pred_extr, np.zeros(len(assoc_pt), bool)
             p1, p2, pv = _pad_pairs_pow2(lf.xy[pair_last],
                                          cur_feats.xy[pair_cur])
-            res = recover_pose_two_view(
+            res = jax.device_get(recover_pose_two_view(
                 self._next_key(),
                 jnp.asarray(p1),
                 jnp.asarray(p2),
                 jnp.asarray(pv),
                 jnp.asarray(self.K4),
                 n_hyp=256,
-            )
+            ))
+            if not bool(res.ok):
+                # recovery failed (E-path <= 100 inliers / empty H decomposition):
+                # keep the constant-velocity prediction, write no observations
+                # (reference SfMHelper.cpp:144-146, 653-659)
+                return pred_extr, np.zeros(len(assoc_pt), bool)
             rel = np.asarray(res.rt6, np.float64)
             # scale the unit translation with the constant-velocity prior
             # (monocular 2-view scale is unobservable)
@@ -1037,7 +1063,10 @@ class BundleAdjustmentPipeline:
             scale = np.linalg.norm(pred_rel[3:])
             rel[3:] *= scale if scale > 1e-9 else 1.0
             extr = np_se3.rt6_compose(rel, self.last_extr)
-            inl = np.ones(len(assoc_pt), bool)
+            # gate observation writes with the chi2 reprojection test against
+            # the recovered pose — the reference prunes every association via
+            # the optimizer's chi2 pass; ungated writes poison the map
+            inl = self._reproj_gate(extr, assoc_pt, assoc_kp, cur_feats)
             return extr, inl
         raise ValueError(f"unknown estimation {cfg.estimation!r}")
 

@@ -96,6 +96,30 @@ def test_recover_pose_planar_scene_uses_homography(rng):
     assert _angle_between(rt[3:], rt_gt[3:]) < 5.0
 
 
+def test_recover_pose_ok_flag(rng):
+    # E-path acceptance mirrors the reference's >100-inlier requirement
+    # (SfMHelper.cpp:653-659): a general scene with only 60 correspondences
+    # cannot clear it and must report failure
+    uv1, uv2, _, _ = two_view_scene(rng, n=60, outlier_frac=0.0)
+    valid = jnp.ones(uv1.shape[0], bool)
+    res = recover_pose_two_view(jax.random.PRNGKey(4), uv1, uv2, valid, K4, n_hyp=512)
+    assert not bool(res.used_homography)
+    assert not bool(res.ok)
+
+    # with ample support the same scene passes
+    uv1, uv2, _, _ = two_view_scene(rng, n=300, outlier_frac=0.05)
+    valid = jnp.ones(uv1.shape[0], bool)
+    res = recover_pose_two_view(jax.random.PRNGKey(5), uv1, uv2, valid, K4, n_hyp=512)
+    assert bool(res.ok)
+
+    # planar H-path: acceptance only needs a surviving decomposition
+    uv1, uv2, _, _ = two_view_scene(rng, n=80, planar=True, outlier_frac=0.0)
+    valid = jnp.ones(uv1.shape[0], bool)
+    res = recover_pose_two_view(jax.random.PRNGKey(6), uv1, uv2, valid, K4, n_hyp=512)
+    assert bool(res.used_homography)
+    assert bool(res.ok)
+
+
 def test_homography_on_planar(rng):
     uv1, uv2, rt_gt, gt_out = two_view_scene(rng, planar=True, outlier_frac=0.1)
     valid = jnp.ones(uv1.shape[0], bool)
