@@ -15,7 +15,7 @@ import json
 import numpy as np
 
 
-CHECKPOINT_VERSION = 1
+CHECKPOINT_VERSION = 2
 
 
 def save_checkpoint(path, pipe):
@@ -41,6 +41,32 @@ def save_checkpoint(path, pipe):
         ],
         np.float64,
     ).reshape(-1, 9)
+
+    # per-record 2D-3D associations (variable length -> flat + offsets);
+    # needed so finalize()'s trajectory refinement works after a resume
+    assoc_off = np.zeros(len(pipe.trajectory) + 1, np.int64)
+    assoc_pt_flat, assoc_uv_flat, assoc_sig_flat = [], [], []
+    for i, rec in enumerate(pipe.trajectory):
+        n = 0 if rec.assoc_pt is None else len(rec.assoc_pt)
+        assoc_off[i + 1] = assoc_off[i] + n
+        if n:
+            assoc_pt_flat.append(np.asarray(rec.assoc_pt, np.int64))
+            assoc_uv_flat.append(np.asarray(rec.assoc_uv, np.float32))
+            assoc_sig_flat.append(np.asarray(rec.assoc_sig, np.float32))
+    has_assoc = np.array(
+        [rec.assoc_pt is not None for rec in pipe.trajectory], bool
+    )
+    assoc_pt_flat = (
+        np.concatenate(assoc_pt_flat) if assoc_pt_flat else np.zeros(0, np.int64)
+    )
+    assoc_uv_flat = (
+        np.concatenate(assoc_uv_flat) if assoc_uv_flat
+        else np.zeros((0, 2), np.float32)
+    )
+    assoc_sig_flat = (
+        np.concatenate(assoc_sig_flat) if assoc_sig_flat
+        else np.zeros(0, np.float32)
+    )
 
     meta = {
         "version": CHECKPOINT_VERSION,
@@ -72,8 +98,16 @@ def save_checkpoint(path, pipe):
         pt_pos=m.pt_pos[:n_pt].copy(),
         pt_desc=m.pt_desc[:n_pt].copy(),
         pt_first_kf=m.pt_first_kf[:n_pt].copy(),
+        pt_dmin=m.pt_dmin[:n_pt].copy(),
+        pt_dmax=m.pt_dmax[:n_pt].copy(),
+        pt_color=m.pt_color[:n_pt].copy(),
         links=links,
         trajectory=traj,
+        assoc_off=assoc_off,
+        has_assoc=has_assoc,
+        assoc_pt=assoc_pt_flat,
+        assoc_uv=assoc_uv_flat,
+        assoc_sig=assoc_sig_flat,
         last_extr=(np.zeros(6) if pipe.last_extr is None else pipe.last_extr),
         prev_extr=(np.zeros(6) if pipe.prev_extr is None else pipe.prev_extr),
         has_last_extr=np.asarray(pipe.last_extr is not None),
@@ -146,6 +180,9 @@ def load_checkpoint(path, config=None):
         if not z["pt_active"][pt]:
             m.erase_point(pt)
     m.kp_outlier[:n_kf] = z["kp_outlier"]
+    m.pt_dmin[:n_pt] = z["pt_dmin"]
+    m.pt_dmax[:n_pt] = z["pt_dmax"]
+    m.pt_color[:n_pt] = z["pt_color"]
 
     # covisibility rebuild for live keyframes
     for kf in m.active_keyframes():
@@ -166,13 +203,19 @@ def load_checkpoint(path, config=None):
             desc=z["last_feats_desc"],
             valid=z["last_feats_valid"],
         )
-    for row in z["trajectory"]:
+    off = z["assoc_off"]
+    has_assoc = z["has_assoc"]
+    for i, row in enumerate(z["trajectory"]):
+        a, b = int(off[i]), int(off[i + 1])
         pipe.trajectory.append(
             TrackRecord(
                 timestamp=float(row[0]),
                 slot=int(row[1]),
                 extr=np.asarray(row[2:8]),
                 is_keyframe=bool(row[8]),
+                assoc_pt=z["assoc_pt"][a:b].copy() if has_assoc[i] else None,
+                assoc_uv=z["assoc_uv"][a:b].copy() if has_assoc[i] else None,
+                assoc_sig=z["assoc_sig"][a:b].copy() if has_assoc[i] else None,
             )
         )
     return pipe

@@ -39,15 +39,38 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path):
                                pipe_b.map.kf_pose[: pipe_b.last_slot + 1])
     assert len(pipe_c.map.active_points()) == len(pipe_b.map.active_points())
     assert len(pipe_c.trajectory) == len(pipe_b.trajectory)
+    # scale envelopes, colors, and trajectory associations survive the
+    # round-trip (they gate transfers and feed finalize()'s refinement)
+    n_pt = int(pipe_b.map._lib.map_num_points(pipe_b.map._h))
+    np.testing.assert_allclose(pipe_c.map.pt_dmin[:n_pt], pipe_b.map.pt_dmin[:n_pt])
+    np.testing.assert_allclose(pipe_c.map.pt_dmax[:n_pt], pipe_b.map.pt_dmax[:n_pt])
+    np.testing.assert_array_equal(pipe_c.map.pt_color[:n_pt], pipe_b.map.pt_color[:n_pt])
+    for rb, rc in zip(pipe_b.trajectory, pipe_c.trajectory):
+        assert (rb.assoc_pt is None) == (rc.assoc_pt is None)
+        if rb.assoc_pt is not None:
+            np.testing.assert_array_equal(rb.assoc_pt, rc.assoc_pt)
+            np.testing.assert_allclose(rb.assoc_uv, rc.assoc_uv)
+            np.testing.assert_allclose(rb.assoc_sig, rc.assoc_sig)
 
     for f in ds[3:]:
         pipe_c.process_frame(f)
 
-    # both tracks cover the sequence with comparable accuracy
+    # finalize both: the resumed run must match the uninterrupted run's
+    # final trajectory, not just its pre-finalize tracking
+    pipe_a.finalize()
+    pipe_c.finalize()
+
     gt_ts = np.array([f["timestamp"] for f in frames])
     gt_xyz = np.array([f["gt_cam_to_world"][:3, 3] for f in frames])
+    results = []
     for pipe in (pipe_a, pipe_c):
         ts, mats = pipe.trajectory_cam_to_world()
         res = evaluate_ate(ts, mats[:, :3, 3], gt_ts, gt_xyz)
         assert res["rmse"] < 0.06
         assert len(ts) == len(ds)
+        results.append((ts, mats))
+    ts_a, mats_a = results[0]
+    ts_c, mats_c = results[1]
+    np.testing.assert_allclose(ts_a, ts_c)
+    # same sequence, same config: positions should agree to mm level
+    assert np.abs(mats_a[:, :3, 3] - mats_c[:, :3, 3]).max() < 2e-3
