@@ -172,25 +172,18 @@ class SceneMap:
 
     def point_view_dirs(self, pt_ids):
         """Mean viewing directions [n,3] (reference MapPoint.cpp:166-200):
-        average of unit vectors from observing keyframe centers to the point."""
-        from bundleadjustment_tpu.geometry import np_se3
-
-        dirs = np.zeros((len(pt_ids), 3), np.float64)
-        for i, pt in enumerate(pt_ids):
-            kfs, _ = self.point_observations(int(pt))
-            if len(kfs) == 0:
-                continue
-            acc = np.zeros(3)
-            for kf in kfs:
-                center = np_se3.rt6_inverse(self.kf_pose[kf])[3:]
-                v = self.pt_pos[pt] - center
-                n = np.linalg.norm(v)
-                if n > 1e-12:
-                    acc += v / n
-            nn = np.linalg.norm(acc)
-            if nn > 1e-12:
-                dirs[i] = acc / nn
-        return dirs
+        average of unit vectors from observing keyframe centers to the point.
+        One native batched pass — no per-point Python loops."""
+        ids = np.ascontiguousarray(np.asarray(pt_ids, np.int32))
+        out = np.zeros((len(ids), 3), np.float64)
+        if len(ids):
+            self._lib.map_point_view_dirs(
+                self._h,
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(ids),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            )
+        return out
 
     def add_observation(self, pt, kf, kp):
         return self._lib.map_add_observation(self._h, pt, kf, kp)
@@ -423,12 +416,22 @@ class SceneMap:
     def refresh_point_descriptor(self, pt):
         """Representative descriptor = min median Hamming distance among
         observations (reference MapPoint::computeDescriptor,
-        src/model/MapPoint.cpp:202-252)."""
-        kfs, kps = self.point_observations(pt)
-        if len(kfs) == 0:
-            return
-        descs = self.kp_desc[kfs, kps]  # [n, W]
-        x = descs[:, None, :] ^ descs[None, :, :]
-        d = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
-        med = np.median(d, axis=1)
-        self.pt_desc[pt] = descs[int(np.argmin(med))]
+        src/model/MapPoint.cpp:202-252).  Native."""
+        self.refresh_point_descriptors([pt])
+
+    def refresh_point_descriptors(self, pt_ids):
+        """Batched native representative-descriptor refresh."""
+        ids = np.ascontiguousarray(np.asarray(pt_ids, np.int32))
+        if len(ids):
+            self._lib.map_refresh_point_descriptors(
+                self._h,
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(ids),
+            )
+
+    def refresh_frame_points(self, kf):
+        """Refresh the representative descriptor of every landmark tracked by
+        frame `kf` — one native pass; invoked by the driver after a frame's
+        observation writes (the reference refreshes on each addObservation /
+        fuse, MapPoint.cpp:51-61,130-164)."""
+        return self._lib.map_refresh_frame_points(self._h, int(kf))

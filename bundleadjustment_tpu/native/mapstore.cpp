@@ -66,6 +66,75 @@ inline bool kp_ok(const MapStore* m, int32_t kf, int32_t kp) {
          kp < m->kf_nkp[kf];
 }
 
+// axis-angle -> row-major rotation matrix (Rodrigues)
+inline void aa_to_rot(const double* r, double R[9]) {
+  double th = std::sqrt(r[0] * r[0] + r[1] * r[1] + r[2] * r[2]);
+  if (th < 1e-12) {
+    R[0] = R[4] = R[8] = 1.0;
+    R[1] = R[2] = R[3] = R[5] = R[6] = R[7] = 0.0;
+    return;
+  }
+  double kx = r[0] / th, ky = r[1] / th, kz = r[2] / th;
+  double c = std::cos(th), s = std::sin(th), v = 1.0 - c;
+  R[0] = c + kx * kx * v;
+  R[1] = kx * ky * v - kz * s;
+  R[2] = kx * kz * v + ky * s;
+  R[3] = ky * kx * v + kz * s;
+  R[4] = c + ky * ky * v;
+  R[5] = ky * kz * v - kx * s;
+  R[6] = kz * kx * v - ky * s;
+  R[7] = kz * ky * v + kx * s;
+  R[8] = c + kz * kz * v;
+}
+
+// camera center of a world->camera rt6 pose: C = -R^T t
+inline void kf_center(const MapStore* m, int32_t kf, double C[3]) {
+  const double* p = &m->kf_pose[(size_t)kf * 6];
+  double R[9];
+  aa_to_rot(p, R);
+  const double* t = p + 3;
+  C[0] = -(R[0] * t[0] + R[3] * t[1] + R[6] * t[2]);
+  C[1] = -(R[1] * t[0] + R[4] * t[1] + R[7] * t[2]);
+  C[2] = -(R[2] * t[0] + R[5] * t[1] + R[8] * t[2]);
+}
+
+inline int hamming(const uint32_t* a, const uint32_t* b, int words) {
+  int d = 0;
+  for (int w = 0; w < words; ++w) d += __builtin_popcount(a[w] ^ b[w]);
+  return d;
+}
+
+// Representative descriptor = the observation descriptor with minimum median
+// Hamming distance to the others (reference MapPoint::computeDescriptor,
+// src/model/MapPoint.cpp:202-252, with Hamming replacing SURF L2).
+inline void refresh_descriptor(MapStore* m, int32_t pt) {
+  if (pt < 0 || pt >= m->n_pt_slots || !m->pt_active[pt]) return;
+  std::vector<const uint32_t*> descs;
+  descs.reserve(m->pt_obs[pt].size());
+  for (auto& o : m->pt_obs[pt]) {
+    if (!m->kf_active[o.kf]) continue;
+    descs.push_back(&m->kp_desc[(m->kp_base(o.kf) + o.kp) * m->desc_words]);
+  }
+  int k = (int)descs.size();
+  if (k == 0) return;
+  if (k == 1) {
+    std::memcpy(&m->pt_desc[(size_t)pt * m->desc_words], descs[0],
+                m->desc_words * sizeof(uint32_t));
+    return;
+  }
+  int best = 0, best_med = INT32_MAX;
+  std::vector<int> row(k);
+  for (int i = 0; i < k; ++i) {
+    for (int j = 0; j < k; ++j)
+      row[j] = hamming(descs[i], descs[j], m->desc_words);
+    std::nth_element(row.begin(), row.begin() + k / 2, row.end());
+    int med = row[k / 2];
+    if (med < best_med) { best_med = med; best = i; }
+  }
+  std::memcpy(&m->pt_desc[(size_t)pt * m->desc_words], descs[best],
+              m->desc_words * sizeof(uint32_t));
+}
+
 }  // namespace
 
 extern "C" {
@@ -490,6 +559,72 @@ int32_t map_window_closure(const MapStore* m, const int32_t* kf_sel,
   }
   if (pt_count) *pt_count = n_pts;
   return n_obs;
+}
+
+// Batched mean viewing directions (reference
+// MapPoint::computeViewingDirection, src/model/MapPoint.cpp:166-200): the
+// normalized mean of unit vectors from each observing keyframe's camera
+// center to the landmark.  out3 is [n * 3] doubles; points with no live
+// observations get the zero vector.  Replaces the former per-point Python
+// loop on the keyframe transfer-gate path.
+void map_point_view_dirs(const MapStore* m, const int32_t* ids, int32_t n,
+                         double* out3) {
+  // camera centers once per call (cheap: <= n_kf_slots Rodrigues evals)
+  std::vector<double> centers((size_t)m->n_kf_slots * 3, 0.0);
+  std::vector<uint8_t> have(m->n_kf_slots, 0);
+  for (int32_t i = 0; i < n; ++i) {
+    double* out = out3 + (size_t)i * 3;
+    out[0] = out[1] = out[2] = 0.0;
+    int32_t pt = ids[i];
+    if (pt < 0 || pt >= m->n_pt_slots || !m->pt_active[pt]) continue;
+    const float* X = &m->pt_pos[(size_t)pt * 3];
+    double acc[3] = {0, 0, 0};
+    for (auto& o : m->pt_obs[pt]) {
+      if (!m->kf_active[o.kf]) continue;
+      if (!have[o.kf]) {
+        kf_center(m, o.kf, &centers[(size_t)o.kf * 3]);
+        have[o.kf] = 1;
+      }
+      const double* C = &centers[(size_t)o.kf * 3];
+      double v[3] = {X[0] - C[0], X[1] - C[1], X[2] - C[2]};
+      double nn = std::sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2]);
+      if (nn > 1e-12) {
+        acc[0] += v[0] / nn;
+        acc[1] += v[1] / nn;
+        acc[2] += v[2] / nn;
+      }
+    }
+    double nn = std::sqrt(acc[0] * acc[0] + acc[1] * acc[1] + acc[2] * acc[2]);
+    if (nn > 1e-12) {
+      out[0] = acc[0] / nn;
+      out[1] = acc[1] / nn;
+      out[2] = acc[2] / nn;
+    }
+  }
+}
+
+// Batched representative-descriptor refresh over explicit landmark ids.
+void map_refresh_point_descriptors(MapStore* m, const int32_t* ids,
+                                   int32_t n) {
+  for (int32_t i = 0; i < n; ++i) refresh_descriptor(m, ids[i]);
+}
+
+// Refresh every landmark observed (non-outlier) by frame `kf` — the batched
+// equivalent of the reference refreshing on each addObservation/fuse
+// (MapPoint.cpp:51-61,130-164): after a frame's observation writes, one pass
+// over its tracked landmarks restores the same invariant.  Returns the
+// number of landmarks refreshed.
+int32_t map_refresh_frame_points(MapStore* m, int32_t kf) {
+  if (kf < 0 || kf >= m->n_kf_slots || !m->kf_active[kf]) return 0;
+  size_t b = m->kp_base(kf);
+  int32_t n = 0;
+  for (int32_t kp = 0; kp < m->kf_nkp[kf]; ++kp) {
+    int32_t pt = m->kp_pt[b + kp];
+    if (pt < 0 || !m->pt_active[pt] || m->kp_outlier[b + kp]) continue;
+    refresh_descriptor(m, pt);
+    ++n;
+  }
+  return n;
 }
 
 // Export per-point observation lists for one point (for descriptor refresh /

@@ -542,6 +542,7 @@ class BundleAdjustmentPipeline:
         m.set_keyframe(ref)
         m.set_keyframe(cur_slot)
         self.kf_counter += 2
+        m.refresh_frame_points(cur_slot)
         m.update_covisibility(cur_slot, self.cfg.covis_threshold)
         m.update_covisibility(ref, self.cfg.covis_threshold)
         return True
@@ -612,6 +613,7 @@ class BundleAdjustmentPipeline:
         m.set_keyframe(ref)
         m.set_keyframe(cur_slot)
         self.kf_counter += 2
+        m.refresh_frame_points(cur_slot)
         m.update_covisibility(cur_slot, self.cfg.covis_threshold)
         m.update_covisibility(ref, self.cfg.covis_threshold)
         # full BA over the two views (Initializer.cpp:182-183); two rounds with
@@ -1228,6 +1230,10 @@ class BundleAdjustmentPipeline:
         # write inlier associations into the map
         for i in np.nonzero(inl)[0]:
             m.add_observation(int(assoc_pt[i]), slot, int(assoc_kp[i]))
+        # maintain representative descriptors of the landmarks that gained an
+        # observation (reference recomputes on every addObservation,
+        # MapPoint.cpp:51-61 -> computeDescriptor :202-252)
+        m.refresh_point_descriptors(assoc_pt[np.nonzero(inl)[0]])
 
         inl_idx = np.nonzero(inl)[0]
         self.trajectory.append(
@@ -1254,6 +1260,9 @@ class BundleAdjustmentPipeline:
                                     image=self._cur_image, image_side="b")
             m.update_covisibility(slot, cfg.covis_threshold)
             self.search_in_neighbors(slot, feats)
+            # one batched descriptor-refresh pass over everything the
+            # neighborhood search touched (fuses, transfers, triangulations)
+            m.refresh_frame_points(slot)
             m.update_covisibility(slot, cfg.covis_threshold)
             if cfg.local_ba:
                 self.local_ba(slot)

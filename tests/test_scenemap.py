@@ -199,3 +199,75 @@ def test_point_obs_counts_batched(small_map):
     assert list(counts) == [2, 1, 0, 0]
     # matches the scalar accessor
     assert counts[0] == m.point_obs_count(p0)
+
+
+def test_point_view_dirs_native_matches_numpy(small_map):
+    """Native batched viewing directions == the straightforward numpy
+    computation (reference MapPoint::computeViewingDirection semantics)."""
+    from bundleadjustment_tpu.geometry import np_se3
+
+    m = small_map
+    rng = np.random.default_rng(3)
+    kfs = []
+    for i in range(4):
+        k = add_simple_frame(m, float(i))
+        m.set_pose(k, rng.normal(0, 0.3, 6))
+        kfs.append(k)
+    pts = []
+    for j in range(5):
+        pt = m.add_point(rng.normal(0, 2, 3).astype(np.float32))
+        for k in kfs[: 2 + j % 3]:
+            m.add_observation(pt, k, j)
+        pts.append(pt)
+    got = m.point_view_dirs(pts)
+    for i, pt in enumerate(pts):
+        obs_kfs, _ = m.point_observations(pt)
+        acc = np.zeros(3)
+        for kf in obs_kfs:
+            center = np_se3.rt6_inverse(m.kf_pose[kf])[3:]
+            v = m.pt_pos[pt] - center
+            acc += v / np.linalg.norm(v)
+        expect = acc / np.linalg.norm(acc)
+        np.testing.assert_allclose(got[i], expect, atol=1e-6)
+    # invalid ids -> zero vector
+    bad = m.point_view_dirs([-1, 10**6])
+    np.testing.assert_array_equal(bad, 0.0)
+
+
+def test_refresh_descriptor_picks_min_median(small_map):
+    """The representative descriptor is the min-median-Hamming observation
+    (reference MapPoint::computeDescriptor, MapPoint.cpp:202-252)."""
+    m = small_map
+    kfs = [add_simple_frame(m, float(i)) for i in range(4)]
+    pt = m.add_point([0, 0, 5.0])
+    # craft descriptors: three near-identical, one far-off; the medoid must
+    # be one of the cluster, never the outlier
+    base = np.zeros(8, np.uint32)
+    descs = [base.copy(), base.copy(), base.copy(), base ^ 0xFFFFFFFF]
+    descs[1][0] = 1  # 1 bit off
+    descs[2][0] = 3  # 2 bits off
+    for k, d in zip(kfs, descs):
+        m.kp_desc[k, 0] = d
+        m.add_observation(pt, k, 0)
+    m.refresh_point_descriptors([pt])
+    assert not np.array_equal(m.pt_desc[pt], descs[3])
+    # numpy cross-check: medoid by median Hamming
+    D = np.asarray(descs)
+    x = D[:, None, :] ^ D[None, :, :]
+    ham = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+    best = int(np.argmin(np.median(ham, axis=1)))
+    assert np.array_equal(m.pt_desc[pt], D[best])
+
+
+def test_refresh_frame_points_covers_tracked(small_map):
+    m = small_map
+    k0 = add_simple_frame(m, 0.0)
+    k1 = add_simple_frame(m, 1.0)
+    p0 = m.add_point([0, 0, 4.0], desc=np.zeros(8, np.uint32))
+    m.add_observation(p0, k0, 0)
+    m.add_observation(p0, k1, 0)
+    # point descriptor starts at zeros; observations carry frame descriptors
+    n = m.refresh_frame_points(k1)
+    assert n == 1
+    descs = [m.kp_desc[k0, 0], m.kp_desc[k1, 0]]
+    assert any(np.array_equal(m.pt_desc[p0], d) for d in descs)
