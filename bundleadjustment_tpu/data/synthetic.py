@@ -87,6 +87,253 @@ def render_plane_sequence(
     return frames, K4
 
 
+def _make_texture(rng, tex_size=512, cells=(4, 8, 16, 32, 64)):
+    """Multi-octave random texture in [0,1] — enough corner structure for
+    FAST/Harris at several pyramid levels."""
+    tex = np.zeros((tex_size, tex_size), np.float32)
+    for cell in cells:
+        small = rng.random((tex_size // cell, tex_size // cell)).astype(np.float32)
+        tex += np.kron(small, np.ones((cell, cell), np.float32))
+    return (tex - tex.min()) / (tex.max() - tex.min())
+
+
+def _look_at_R(C, target, up=(0.0, -1.0, 0.0)):
+    """cam-to-world rotation with +z toward `target` (y-down camera)."""
+    z = np.asarray(target, np.float64) - np.asarray(C, np.float64)
+    z = z / np.linalg.norm(z)
+    x = np.cross(np.asarray(up, np.float64), z)
+    n = np.linalg.norm(x)
+    if n < 1e-9:
+        x = np.array([1.0, 0.0, 0.0])
+    else:
+        x = x / n
+    y = np.cross(z, x)
+    return np.stack([x, y, z], axis=1)  # columns = cam axes in world
+
+
+def _smooth_walk(rng, n, sigma, kernel=5):
+    """Smoothed random walk [n,3] — hand-held jitter."""
+    steps = rng.normal(0, sigma, size=(n + kernel, 3))
+    w = np.hanning(kernel + 2)[1:-1]
+    w = w / w.sum()
+    out = np.stack(
+        [np.convolve(steps[:, i], w, mode="same")[:n] for i in range(3)], -1
+    )
+    return np.cumsum(out, axis=0)
+
+
+def _trajectory(kind, n_frames, motion_step, rot_step, rng):
+    """Per-frame (R cam->world, C center).  Kinds:
+
+    - forward:  translating sweep with mild rotation (easy parallax)
+    - orbit:    circle around the scene center, always looking at it
+    - rotation: rotation-dominant pan with tiny translation (hard: weak
+                parallax, exercises E/H degeneracy handling)
+    - handheld: forward plus smoothed random-walk rotation+translation jitter
+    """
+    Rs, Cs = [], []
+    target = np.array([0.0, 0.0, 5.0])
+    if kind == "handheld":
+        jit_t = _smooth_walk(rng, n_frames, motion_step * 0.25)
+        jit_r = _smooth_walk(rng, n_frames, rot_step * 0.6)
+    for i in range(n_frames):
+        if kind == "forward":
+            C = np.array([motion_step * i, 0.02 * np.sin(0.7 * i), 0.015 * i])
+            rvec = np.array([0.15 * rot_step * i, rot_step * i, 0.1 * rot_step * i])
+            R = _aa_to_R(rvec)
+        elif kind == "orbit":
+            ang = 0.9 * motion_step / 4.0 * i - 0.15
+            radius = 4.5
+            C = target + radius * np.array([np.sin(ang), 0.05 * np.sin(2 * ang), -np.cos(ang)])
+            R = _look_at_R(C, target)
+        elif kind == "rotation":
+            C = np.array([motion_step * 0.1 * i, 0.0, 0.002 * i])
+            rvec = np.array([0.2 * rot_step * i, rot_step * i, 0.0])
+            R = _aa_to_R(rvec)
+        elif kind == "handheld":
+            C = np.array([motion_step * i, 0.0, 0.01 * i]) + jit_t[i]
+            rvec = np.array([0.0, 0.4 * rot_step * i, 0.0]) + jit_r[i]
+            R = _aa_to_R(rvec)
+        else:
+            raise ValueError(f"unknown trajectory {kind!r}")
+        Rs.append(R)
+        Cs.append(C)
+    return Rs, Cs
+
+
+def render_layered_scene(
+    n_frames=30,
+    width=640,
+    height=480,
+    fx=525.0,
+    fy=525.0,
+    trajectory="forward",
+    motion_step=0.06,
+    rot_step=0.01,
+    n_layers=6,
+    depth_scale=5000.0,
+    depth_quantize=True,
+    hole_frac=0.01,
+    edge_holes=True,
+    pixel_noise=0.01,
+    exposure_jitter=0.05,
+    vignette=0.25,
+    view_dependent=0.25,
+    seed=0,
+):
+    """Render a hard multi-structure RGB-D sequence with exact ground truth.
+
+    Deliberately exercises everything the fronto-parallel plane cannot
+    (VERDICT r1: accuracy evidence must survive contact with hard data; the
+    reference's datasets are real fr1/Replica sequences,
+    ba_project/src/data/VirtualSensor.h:49-182):
+
+    - a back wall + floor + `n_layers` floating panels at different depths:
+      occlusion boundaries, depth discontinuities, non-planar structure (the
+      E-path of two-view recovery gets a genuinely 3-D scene);
+    - sensor-model depth: 16-bit quantization at the TUM 5000 scale, random
+      blob dropouts, and dropouts along depth edges (structured-light style)
+      -> invalid depth = -inf exactly like the TUM loader's 0->MINF;
+    - photometric nuisance: per-frame exposure jitter, vignetting, Gaussian
+      pixel noise, and view-dependent (angle-modulated) surface shading;
+    - trajectories: forward / orbit / rotation-dominant / hand-held jitter.
+
+    Returns (frames, K4) in the same format as `render_plane_sequence`.
+    """
+    rng = np.random.default_rng(seed)
+    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
+    K4 = np.array([fx, fy, cx, cy], np.float32)
+
+    # --- surfaces: axis-aligned textured rectangles ---------------------
+    # kind "z": plane z=c spanning (x,y) bounds; kind "y": plane y=c (floor)
+    surfaces = []
+
+    def add_surface(kind, coord, b0, b1, texels_per_m=48.0):
+        surfaces.append(
+            {
+                "kind": kind,
+                "coord": float(coord),
+                "b0": np.asarray(b0, np.float64),  # (min0, max0) first axis
+                "b1": np.asarray(b1, np.float64),
+                "tex": _make_texture(rng),
+                "tpm": texels_per_m,
+                "base": 0.55 + 0.45 * rng.random(),
+            }
+        )
+
+    add_surface("z", 8.0, (-9.0, 9.0), (-5.0, 5.0))      # back wall
+    add_surface("y", 2.0, (-9.0, 9.0), (0.5, 9.5))       # floor (y down)
+    for _ in range(n_layers):
+        z = rng.uniform(2.8, 6.5)
+        w = rng.uniform(0.8, 2.6)
+        h = rng.uniform(0.6, 2.0)
+        x0 = rng.uniform(-3.0, 3.0 - w) + motion_step * 0.5 * n_frames * 0.5
+        y0 = rng.uniform(-2.2, 2.2 - h)
+        add_surface("z", z, (x0, x0 + w), (y0, y0 + h), texels_per_m=64.0)
+
+    Rs, Cs = _trajectory(trajectory, n_frames, motion_step, rng=rng, rot_step=rot_step)
+
+    us, vs = np.meshgrid(np.arange(width), np.arange(height))
+    d_cam = np.stack(
+        [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float64)], -1
+    )
+
+    # static vignette field
+    r2 = ((us - cx) / (width / 2)) ** 2 + ((vs - cy) / (height / 2)) ** 2
+    vig = 1.0 - vignette * r2.astype(np.float32) / 2.0
+
+    frames = []
+    for i in range(n_frames):
+        R, C = Rs[i], Cs[i]
+        pose = np.eye(4)
+        pose[:3, :3] = R
+        pose[:3, 3] = C
+        dir_w = d_cam @ R.T  # [H,W,3]
+
+        depth = np.full((height, width), np.inf, np.float64)
+        img = np.zeros((height, width), np.float32)
+        for s in surfaces:
+            axis = 2 if s["kind"] == "z" else 1
+            denom = dir_w[..., axis]
+            denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+            t = (s["coord"] - C[axis]) / denom
+            pw = C[None, None, :] + t[..., None] * dir_w
+            if s["kind"] == "z":
+                a, b = pw[..., 0], pw[..., 1]
+            else:
+                a, b = pw[..., 0], pw[..., 2]
+            hit = (
+                (t > 0.15)
+                & (a >= s["b0"][0]) & (a < s["b0"][1])
+                & (b >= s["b1"][0]) & (b < s["b1"][1])
+                & (t < depth)
+            )
+            if not hit.any():
+                continue
+            tex = s["tex"]
+            ts_ = tex.shape[0]
+            txc = ((a - s["b0"][0]) * s["tpm"]) % (ts_ - 1)
+            tyc = ((b - s["b1"][0]) * s["tpm"]) % (ts_ - 1)
+            x0i = txc.astype(int)
+            y0i = tyc.astype(int)
+            fxs = (txc - x0i).astype(np.float32)
+            fys = (tyc - y0i).astype(np.float32)
+            val = (
+                tex[y0i, x0i] * (1 - fxs) * (1 - fys)
+                + tex[y0i, x0i + 1] * fxs * (1 - fys)
+                + tex[y0i + 1, x0i] * (1 - fxs) * fys
+                + tex[y0i + 1, x0i + 1] * fxs * fys
+            )
+            # view-dependent shading: surfaces dim as the ray grazes them
+            if view_dependent > 0:
+                nrm = np.linalg.norm(dir_w, axis=-1)
+                cosang = np.abs(dir_w[..., axis]) / np.maximum(nrm, 1e-9)
+                shade = (1.0 - view_dependent) + view_dependent * cosang
+            else:
+                shade = 1.0
+            px = (s["base"] * val * shade).astype(np.float32)
+            img = np.where(hit, px, img)
+            depth = np.where(hit, t, depth)
+
+        # --- photometric sensor model --------------------------------
+        gain = 1.0 + (exposure_jitter * rng.normal() if exposure_jitter else 0.0)
+        img = img * gain * vig
+        if pixel_noise:
+            img = img + rng.normal(0, pixel_noise, img.shape).astype(np.float32)
+        img = np.clip(img, 0.0, 1.0).astype(np.float32)
+
+        # --- depth sensor model ---------------------------------------
+        d = depth.copy()
+        d[~np.isfinite(d)] = np.nan
+        if depth_quantize:
+            d = np.round(d * depth_scale) / depth_scale
+            d[d * depth_scale > 65535] = np.nan
+        if edge_holes:
+            gy, gx = np.gradient(np.nan_to_num(d, nan=0.0))
+            edge = np.hypot(gx, gy) > 0.08
+            drop = edge & (rng.random(d.shape) < 0.65)
+            d[drop] = np.nan
+        if hole_frac > 0:
+            n_blobs = max(1, int(hole_frac * 40))
+            yy, xx = np.mgrid[0:height, 0:width]
+            for _ in range(n_blobs):
+                by = rng.uniform(0, height)
+                bx = rng.uniform(0, width)
+                br = rng.uniform(4, 18)
+                d[(yy - by) ** 2 + (xx - bx) ** 2 < br**2] = np.nan
+        d = np.where(np.isfinite(d), d, -np.inf).astype(np.float32)
+
+        frames.append(
+            {
+                "gray": img,
+                "depth": d,
+                "gt_cam_to_world": pose,
+                "timestamp": i / 30.0,
+            }
+        )
+    return frames, K4
+
+
 def write_tum_format(root, frames, depth_scale=5000.0):
     """Write rendered frames as an on-disk TUM RGB-D dataset (for loader and
     CLI end-to-end tests)."""

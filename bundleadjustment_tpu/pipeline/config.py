@@ -47,10 +47,12 @@ class PipelineConfig:
     # tracking / keyframes
     keyframe_ratio: float = 0.1  # BundleAdjustment.cpp:161
     track_local_map: bool = False  # guided map-point projection matching after
-    #   the first motion-only pass.  Opt-in: measured on the aggressive-motion
-    #   synthetic it currently HURTS (0.15 -> 0.48 ATE) — stale creation-time
-    #   descriptors + the loose 0.9 ratio let false matches reinforce pose
-    #   drift.  Needs per-observation descriptor refresh before default-on.
+    #   the first motion-only pass (beyond the reference, which associates
+    #   against the last frame only).  Opt-in: with the native representative-
+    #   descriptor refresh wired (round 2) the old catastrophic regression is
+    #   gone, but the layered-scene A/B is mixed — handheld 0.0034 -> 0.0050
+    #   ATE (hurts), aggressive-motion 0.0219 -> 0.0202 (helps) — so the
+    #   default stays off; enable for fast-motion sequences.  See BASELINE.md.
     track_window_px: float = 12.0  # projection search radius (level-0 px)
     tracking_fail_ratio: float = 1e-4  # BundleAdjustment.cpp:157-160
     min_track_points: int = 10

@@ -87,13 +87,16 @@ def sample_depth_bilinear(depth, uv):
     d01 = depth[y0, x0 + 1]
     d10 = depth[y0 + 1, x0]
     d11 = depth[y0 + 1, x0 + 1]
+    ok = np.isfinite(d00) & np.isfinite(d01) & np.isfinite(d10) & np.isfinite(d11)
+    # zero out invalid corners before blending: -inf * 0 would emit nan
+    # warnings even though the `ok` mask discards those samples
+    d00, d01, d10, d11 = (np.where(ok, d, 0.0) for d in (d00, d01, d10, d11))
     val = (
         d00 * (1 - fx) * (1 - fy)
         + d01 * fx * (1 - fy)
         + d10 * (1 - fx) * fy
         + d11 * fx * fy
     )
-    ok = np.isfinite(d00) & np.isfinite(d01) & np.isfinite(d10) & np.isfinite(d11)
     out = np.where(ok & (val > 0), val, np.nan)
     return out
 
