@@ -46,7 +46,7 @@ def build_problem():
     return sc, dense, int(sc.valid.sum()) - dropped
 
 
-def time_solve(device, sc, dense, repeats=3, layout="dense"):
+def time_solve(device, sc, dense, repeats=3, layout="dense", iters=LM_ITERS):
     """Time the LM solve on `device`.
 
     layout="dense": landmark-major one-hot-MXU engine (optimal on TPU);
@@ -66,9 +66,9 @@ def time_solve(device, sc, dense, repeats=3, layout="dense"):
     # dense layout: exact DENSE_SCHUR (explicit S + Cholesky — fastest on
     # TPU at this camera count); flat layout: matrix-free Schur-PCG
     if layout == "dense":
-        config = LMConfig(max_iters=LM_ITERS, solver="dense")
+        config = LMConfig(max_iters=iters, solver="dense")
     else:
-        config = LMConfig(max_iters=LM_ITERS, solver="pcg", pcg_iters=PCG_ITERS)
+        config = LMConfig(max_iters=iters, solver="pcg", pcg_iters=PCG_ITERS)
 
     if layout == "dense":
         prob = jax.tree.map(put, dense)
@@ -103,7 +103,7 @@ def time_solve(device, sc, dense, repeats=3, layout="dense"):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
-    return LM_ITERS / best, float(info["cost0"]), float(info["cost"])
+    return iters / best, float(info["cost0"]), float(info["cost"])
 
 
 def main():
@@ -120,10 +120,23 @@ def main():
     except Exception:
         pass
 
+    from bundleadjustment_tpu.utils.flops import roofline
+
     sc, dense, n_obs = build_problem()
 
     default_dev = jax.devices()[0]
     iters_dev, cost0, cost = time_solve(default_dev, sc, dense)
+    roof = roofline(iters_dev, N_CAMS, N_PTS, MAX_OBS, default_dev,
+                    solver="dense")
+
+    # marginal per-iteration device time (subtracts dispatch/relay latency,
+    # which dominates end-to-end numbers on a tunneled dev TPU): time 2x the
+    # iterations and difference the wall times
+    iters_2x, _, _ = time_solve(default_dev, sc, dense, iters=2 * LM_ITERS)
+    t1, t2 = LM_ITERS / iters_dev, (2 * LM_ITERS) / iters_2x
+    marginal_iter_s = LM_ITERS / max(t2 - t1, 1e-9)
+    roof_marginal = roofline(marginal_iter_s, N_CAMS, N_PTS, MAX_OBS,
+                             default_dev, solver="dense")
 
     try:
         cpu = jax.devices("cpu")[0]
@@ -151,6 +164,20 @@ def main():
                 "cpu_iters_per_s": round(iters_cpu, 3),
                 "cost_reduction": round(cost0 / max(cost, 1e-12), 1),
                 "layout": "dense_landmark_major_cm",
+                # roofline: counted FLOPs/bytes per LM iteration
+                # (utils/flops.py), achieved throughput, and MFU vs the
+                # chip's bf16 MXU peak (conservative for fp32 math)
+                "flops_per_iter": roof["flops_per_iter"],
+                "achieved_tflops": round(roof["achieved_tflops"], 3),
+                "mfu": round(roof["mfu"], 4) if roof["mfu"] else None,
+                "arith_intensity": round(roof["arith_intensity"], 1),
+                "dominant_term": roof["dominant_term"],
+                "marginal_iter_per_s": round(marginal_iter_s, 1),
+                "marginal_mfu": (
+                    round(roof_marginal["mfu"], 4)
+                    if roof_marginal["mfu"] else None
+                ),
+                "marginal_tflops": round(roof_marginal["achieved_tflops"], 3),
             }
         )
     )

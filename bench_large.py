@@ -53,11 +53,17 @@ def main():
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
+
+    from bundleadjustment_tpu.utils.flops import roofline
+
+    iters_s = LM_ITERS / best
+    roof = roofline(iters_s, N_CAMS, N_PTS, MAX_OBS, jax.devices()[0],
+                    solver="dense")
     print(
         json.dumps(
             {
                 "metric": "ba_iterations_per_s_100k",
-                "value": round(LM_ITERS / best, 3),
+                "value": round(iters_s, 3),
                 "unit": "iter/s",
                 "device": str(jax.devices()[0]),
                 "n_cams": N_CAMS,
@@ -67,6 +73,11 @@ def main():
                 "cost_reduction": round(
                     float(info["cost0"]) / max(float(info["cost"]), 1e-12), 1
                 ),
+                "flops_per_iter": roof["flops_per_iter"],
+                "achieved_tflops": round(roof["achieved_tflops"], 3),
+                "mfu": round(roof["mfu"], 4) if roof["mfu"] else None,
+                "arith_intensity": round(roof["arith_intensity"], 1),
+                "dominant_term": roof["dominant_term"],
             }
         )
     )

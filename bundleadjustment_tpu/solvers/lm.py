@@ -39,10 +39,13 @@ class LMConfig(NamedTuple):
     pcg_tol: float = 1e-6
     robust: bool = True
     rtol: float = 1e-9  # relative cost-decrease tolerance for early freeze
-    mxu_bf16: bool = False  # dense layout only: run the one-hot camera-side
-    #   contractions in bf16 (f32 accumulation) for MXU-native rate; the
-    #   normal equations lose ~8 mantissa bits — fine for the GN direction,
-    #   gate on accuracy tests before enabling by default
+    mxu_bf16: bool = False  # dense layout only: cast the one-hot camera-side
+    #   contractions (incl. the dominant QQ^T) to explicit bf16.  Measured on
+    #   v5e (r2, 64 cams/10k lm): 0.84x — SLOWER than fp32, with bit-identical
+    #   final cost.  Why: XLA's default TPU matmul precision already feeds the
+    #   MXU bf16 inputs with f32 accumulation, so the explicit cast buys no
+    #   rate and adds convert ops.  Kept for experimentation on platforms with
+    #   HIGHEST-precision defaults; accuracy-gated in test_dense_ba_exact.py.
 
 
 # Fixed cost charged to an observation whose point sits behind the camera.
