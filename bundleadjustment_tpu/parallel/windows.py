@@ -5,14 +5,19 @@ The reference's scalability story is a single 10-frame local BA around the
 newest keyframe (`ba_project/src/ba/Optimizer.cpp:508`).  Here the whole
 trajectory is partitioned into overlapping keyframe windows and ALL windows
 solve simultaneously: per-window problems are padded to a common shape and
-the LM/Schur solve is `vmap`ped over the window axis — one batched
-computation that XLA tiles across the MXU, and that distributes over a
-device mesh by sharding the window axis (data-parallel over windows).
+the LM/Schur solve is `vmap`ped over the window axis.  Pass `mesh=` to
+actually distribute: the window axis is sharded over the mesh with
+`shard_map` (each device solves its window subset locally — windows are
+embarrassingly parallel), and landmarks shared between overlapping windows
+are reconciled by an explicit **halo exchange**: every shard contributes
+(position-sum, count) per global landmark id and one `psum` over the mesh
+averages the copies — the only cross-device traffic in the whole solve.
 
 The per-window solutions are gauge-free (each pins its own first camera), so
 a pose-graph solve stitches the relative poses from every window into one
 global trajectory (redundant edges from overlapping windows average drift),
-followed by a cameras-fixed point-only refinement.
+followed by a cameras-fixed point-only refinement seeded with the
+halo-averaged landmarks.
 """
 
 from __future__ import annotations
@@ -22,11 +27,14 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from bundleadjustment_tpu.geometry import np_se3
 from bundleadjustment_tpu.parallel.posegraph import PoseGraph, solve_pose_graph
 from bundleadjustment_tpu.solvers import BAProblem, LMConfig
 from bundleadjustment_tpu.solvers.lm import ba_solve
+
+WINDOW_AXIS = "window"
 
 
 def make_windows(n, window=10, stride=5):
@@ -52,12 +60,69 @@ def _batched_solve(probs, cams, points, config):
     return jax.vmap(lambda p, c, x: ba_solve(p, c, x, config))(probs, cams, points)
 
 
+def _halo_segments(pts_opt, gids, n_global):
+    """Per-global-landmark (position-sum, count) from window-local solutions.
+    gids: [W, Lp] compact global landmark ids, -1 = padding."""
+    flat_g = gids.reshape(-1)
+    ok = flat_g >= 0
+    seg = jnp.where(ok, flat_g, 0)
+    flat_p = pts_opt.reshape(-1, 3)
+    sums = jax.ops.segment_sum(
+        jnp.where(ok[:, None], flat_p, 0.0), seg, num_segments=n_global
+    )
+    cnts = jax.ops.segment_sum(
+        ok.astype(jnp.float32), seg, num_segments=n_global
+    )
+    return sums, cnts
+
+
+@partial(jax.jit, static_argnames=("config", "n_global"))
+def _batched_solve_halo(probs, cams, points, gids, config, n_global):
+    cams_o, pts_o, info = _batched_solve(probs, cams, points, config)
+    sums, cnts = _halo_segments(pts_o, gids, n_global)
+    return cams_o, pts_o, info, sums, cnts
+
+
+def _sharded_solve_halo(probs, cams, points, gids, config, n_global, mesh):
+    """Window-axis sharded solve (shard_map over `mesh`) + landmark halo
+    exchange.  Each device solves W/D windows locally; the psum of the halo
+    segments is the ONLY collective — traffic ∝ distinct landmarks, not
+    observations."""
+
+    def local(p, c, x, g):
+        cams_o, pts_o, info = jax.vmap(
+            lambda pp, cc, xx: ba_solve(pp, cc, xx, config)
+        )(p, c, x)
+        sums, cnts = _halo_segments(pts_o, g, n_global)
+        sums = jax.lax.psum(sums, WINDOW_AXIS)
+        cnts = jax.lax.psum(cnts, WINDOW_AXIS)
+        return cams_o, pts_o, info, sums, cnts
+
+    spec = P(WINDOW_AXIS)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec, spec, P(), P()),
+        # the LM scan's carry mixes sharded state with unvarying scalars
+        # (lambda/nu/done start as literals); the varying-axis checker
+        # rejects that even though the math is device-local — skip it
+        check_vma=False,
+    )
+    return jax.jit(fn)(probs, cams, points, gids)
+
+
 def windowed_global_ba(scene_map, window=10, stride=5,
-                       config=None, pg_iters=15):
+                       config=None, pg_iters=15, mesh=None):
     """Full-map refinement via batched window BA + pose-graph stitch.
 
     Mutates the scene map: keyframe poses and landmark positions are updated
     in place.  Returns an info dict.
+
+    mesh: optional 1-D `jax.sharding.Mesh` with axis "window" — shards the
+    window axis across devices (windows padded to a multiple of the mesh
+    size with inert all-fixed dummies).  Results match the single-device
+    vmap path (see tests/test_windows.py parity test).
     """
     if config is None:
         config = LMConfig(max_iters=8, solver="dense")
@@ -91,8 +156,42 @@ def windowed_global_ba(scene_map, window=10, stride=5,
     cam_fixed = np.stack([pad2(s.cam_fixed, Kp, True) for s in snaps])
     extr = np.stack([pad2(s.extr, Kp) for s in snaps])
     points = np.stack([pad2(s.points, Lp) for s in snaps])
-    K4 = np.broadcast_to(np.asarray(scene_map.K4), (W, 4)).copy()
 
+    # compact global landmark ids for the halo exchange: windows overlap, so
+    # a landmark may be solved by several windows; gid[w, l] indexes the
+    # union of all windows' landmarks (-1 = padding slot)
+    all_pt_ids = np.unique(np.concatenate([s.pt_ids for s in snaps]))
+    id_to_gid = {int(p): g for g, p in enumerate(all_pt_ids)}
+    n_global = len(all_pt_ids)
+    gids = np.full((W, Lp), -1, np.int32)
+    for wi, s in enumerate(snaps):
+        gids[wi, : len(s.pt_ids)] = [id_to_gid[int(p)] for p in s.pt_ids]
+
+    # pad the window axis to a multiple of the mesh size with inert dummy
+    # windows (all cameras fixed, no valid observations, no landmarks)
+    W_solve = W
+    if mesh is not None:
+        D = mesh.devices.size
+        W_solve = ((W + D - 1) // D) * D
+        pad_w = W_solve - W
+        if pad_w:
+            def padw(a, fill=None):
+                extra = np.zeros((pad_w,) + a.shape[1:], a.dtype)
+                if fill is not None:
+                    extra[:] = fill
+                return np.concatenate([a, extra])
+
+            cam_idx = padw(cam_idx)
+            pt_idx = padw(pt_idx)
+            uv = padw(uv)
+            sig = padw(sig, 1)
+            valid = padw(valid, False)
+            cam_fixed = padw(cam_fixed, True)
+            extr = padw(extr)
+            points = padw(points)
+            gids = padw(gids, -1)
+
+    K4 = np.broadcast_to(np.asarray(scene_map.K4), (W_solve, 4)).copy()
     probs = BAProblem(
         K4=jnp.asarray(K4),
         cam_idx=jnp.asarray(cam_idx),
@@ -101,13 +200,30 @@ def windowed_global_ba(scene_map, window=10, stride=5,
         sigma2=jnp.asarray(sig),
         valid=jnp.asarray(valid),
         cam_fixed=jnp.asarray(cam_fixed),
-        pt_fixed=jnp.zeros((W, Lp), bool),
+        pt_fixed=jnp.zeros((W_solve, Lp), bool),
     )
-    cams_opt, pts_opt, info = _batched_solve(
-        probs, jnp.asarray(extr), jnp.asarray(points), config
-    )
-    cams_opt = np.asarray(cams_opt)
-    pts_opt = np.asarray(pts_opt)
+    if mesh is None:
+        cams_opt, pts_opt, info, halo_sum, halo_cnt = _batched_solve_halo(
+            probs, jnp.asarray(extr), jnp.asarray(points),
+            jnp.asarray(gids), config, n_global,
+        )
+    else:
+        cams_opt, pts_opt, info, halo_sum, halo_cnt = _sharded_solve_halo(
+            probs, jnp.asarray(extr), jnp.asarray(points),
+            jnp.asarray(gids), config, n_global, mesh,
+        )
+    cams_opt = np.asarray(cams_opt)[:W]
+    pts_opt = np.asarray(pts_opt)[:W]
+    halo_sum = np.asarray(halo_sum)
+    halo_cnt = np.asarray(halo_cnt)
+    info = {k: np.asarray(v)[:W] for k, v in info.items()}
+
+    # halo-averaged landmark positions -> map (each shared landmark gets the
+    # mean of its windows' solutions; the cameras-fixed refinement below
+    # polishes from this consensus initialization)
+    has = halo_cnt > 0
+    avg = halo_sum[has] / halo_cnt[has, None]
+    scene_map.pt_pos[all_pt_ids[has]] = avg.astype(np.float32)
 
     # pose graph: edges between consecutive kfs of each window from the
     # window-local solutions (relative poses are gauge-invariant)

@@ -53,3 +53,67 @@ def test_windowed_global_ba_improves_map(rng):
     assert err_after.mean() < err_before.mean() * 0.5
     for c0, c1 in zip(info["window_cost0"], info["window_cost"]):
         assert c1 < c0
+
+
+def _build_synthetic_store(n_cams=12, n_pts=200, seed=21):
+    from bundleadjustment_tpu.data.synthetic import make_synthetic_scene
+    from bundleadjustment_tpu.mapstate import SceneMap
+
+    sc = make_synthetic_scene(n_cams=n_cams, n_pts=n_pts, pixel_noise=0.3,
+                              init_rot_noise=0.03, init_trans_noise=0.08,
+                              seed=seed)
+    m = SceneMap(max_frames=64, max_points=4096, max_kp=256, K4=sc.K4)
+    kp_count = np.zeros(n_cams, int)
+    kp_of_obs = np.zeros(len(sc.cam_idx), int)
+    for n in range(len(sc.cam_idx)):
+        k = sc.cam_idx[n]
+        kp_of_obs[n] = kp_count[k]
+        kp_count[k] += 1
+    kp_xy = np.zeros((n_cams, kp_count.max(), 2), np.float32)
+    for n in range(len(sc.cam_idx)):
+        kp_xy[sc.cam_idx[n], kp_of_obs[n]] = sc.uv[n]
+    for k in range(n_cams):
+        m.add_frame(
+            float(k), sc.extr_init[k], kp_xy[k, : kp_count[k]],
+            np.zeros(kp_count[k], np.int32), np.ones(kp_count[k], np.float32),
+            np.zeros((kp_count[k], 8), np.uint32),
+        )
+        m.set_keyframe(k)
+    for l in range(n_pts):
+        m.add_point(sc.points_init[l])
+    for n in range(len(sc.cam_idx)):
+        m.add_observation(int(sc.pt_idx[n]), int(sc.cam_idx[n]),
+                          int(kp_of_obs[n]))
+    return sc, m
+
+
+@pytest.mark.slow
+def test_windowed_ba_sharded_matches_vmap():
+    """shard_map over the window axis (8-virtual-device CPU mesh) must
+    reproduce the single-device vmap path: same per-window solves, same
+    halo-averaged landmarks, same stitched trajectory."""
+    import jax
+    from jax.sharding import Mesh
+    from bundleadjustment_tpu.parallel.windows import WINDOW_AXIS
+
+    sc, m1 = _build_synthetic_store()
+    _, m2 = _build_synthetic_store()
+    mesh = Mesh(np.array(jax.devices()), (WINDOW_AXIS,))
+
+    info1 = windowed_global_ba(m1, window=6, stride=3)
+    info2 = windowed_global_ba(m2, window=6, stride=3, mesh=mesh)
+    assert info1["windows"] == info2["windows"] >= 2
+
+    np.testing.assert_allclose(info2["window_cost"], info1["window_cost"],
+                               rtol=1e-4)
+    # stitched keyframe poses agree
+    np.testing.assert_allclose(m2.kf_pose[:12], m1.kf_pose[:12],
+                               rtol=1e-4, atol=2e-4)
+    # halo-averaged + refined landmarks agree
+    pts1 = m1.pt_pos[m1.active_points()]
+    pts2 = m2.pt_pos[m2.active_points()]
+    np.testing.assert_allclose(pts2, pts1, rtol=1e-3, atol=2e-3)
+    # and the sharded run still improves the map
+    err_after = np.linalg.norm(m2.kf_pose[:12] - sc.extr_gt, axis=1)
+    err_init = np.linalg.norm(sc.extr_init - sc.extr_gt, axis=1)
+    assert err_after.mean() < err_init.mean() * 0.5
