@@ -193,7 +193,8 @@ def main(argv=None):
         gt_cloud = read_ply_vertices(args.reconstruction_error)
         first_kf = int(kf_slots[0]) if len(kf_slots) else 0
         err, _ = reconstruction_error(
-            pts, gt_cloud, first_kf_gt_pose=pipe.map.kf_gt[first_kf]
+            pts, gt_cloud, first_kf_gt_pose=pipe.map.kf_gt[first_kf],
+            out_prefix=prefix,  # comparison PLYs (ReconstructionError.cpp:106-107,174)
         )
         results["reconstruction_error"] = err
 

@@ -429,6 +429,21 @@ class SceneMap:
                 len(ids),
             )
 
+    def point_has_outlier_obs(self, pt_ids):
+        """Batched: True where any observation of the landmark is flagged
+        outlier (the reference viewer's red-cloud partition,
+        src/visualization/Visualizer.cpp:79-89)."""
+        ids = np.ascontiguousarray(np.asarray(pt_ids, np.int32))
+        out = np.zeros(len(ids), np.uint8)
+        if len(ids):
+            self._lib.map_point_has_outlier_obs(
+                self._h,
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(ids),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+        return out.astype(bool)
+
     def refresh_frame_points(self, kf):
         """Refresh the representative descriptor of every landmark tracked by
         frame `kf` — one native pass; invoked by the driver after a frame's

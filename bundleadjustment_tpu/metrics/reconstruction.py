@@ -100,6 +100,7 @@ def reconstruction_error(
     first_kf_gt_pose=None,
     max_iters=30,
     max_corr_dist=0.1,
+    out_prefix=None,
 ):
     """Full reference metric: transform, normalize, ICP, fitness.
 
@@ -107,6 +108,11 @@ def reconstruction_error(
     gt_points: [M,3] ground-truth cloud (e.g. sampled GT mesh vertices).
     first_kf_gt_pose: optional [4,4] cam->world GT of the first keyframe
       (reference transforms the map into the GT frame with it, :64-76).
+    out_prefix: when given, write the reference's comparison PLYs
+      (ReconstructionError.cpp:106-107,174): `<prefix>_gt_cloud.ply`,
+      `<prefix>_estimated_cloud.ply` (both normalized), and
+      `<prefix>_combined_colored_cloud.ply` with the ICP-aligned estimate
+      red and the ground truth green.
     """
     pts = np.asarray(map_points, np.float64)
     if first_kf_gt_pose is not None:
@@ -116,4 +122,18 @@ def reconstruction_error(
     dst, _, _ = normalize_cloud(np.asarray(gt_points, np.float64))
     res = icp_align(src.astype(np.float32), dst.astype(np.float32),
                     max_iters, max_corr_dist)
+    if out_prefix:
+        from bundleadjustment_tpu.vis.mesh import write_ply
+
+        write_ply(out_prefix + "_gt_cloud.ply", dst)
+        write_ply(out_prefix + "_estimated_cloud.ply", src)
+        R, t = np.asarray(res["R"], np.float64), np.asarray(res["t"], np.float64)
+        aligned = src @ R.T + t
+        combined = np.concatenate([aligned, dst])
+        colors = np.concatenate([
+            np.tile([255, 0, 0], (len(aligned), 1)),
+            np.tile([0, 255, 0], (len(dst), 1)),
+        ]).astype(np.uint8)
+        write_ply(out_prefix + "_combined_colored_cloud.ply", combined,
+                  colors=colors)
     return res["fitness"], res

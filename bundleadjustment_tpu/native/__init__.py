@@ -92,6 +92,7 @@ def _declare(lib):
         ),
         "map_point_view_dirs": ([ctypes.c_void_p, P(c_i32), c_i32, P(c_f64)], None),
         "map_refresh_point_descriptors": ([ctypes.c_void_p, P(c_i32), c_i32], None),
+        "map_point_has_outlier_obs": ([ctypes.c_void_p, P(c_i32), c_i32, P(c_u8)], None),
         "map_refresh_frame_points": ([ctypes.c_void_p, c_i32], c_i32),
         "map_window_closure": (
             [ctypes.c_void_p, P(c_i32), c_i32, P(c_i32), c_i32, P(c_i32), c_i32, P(c_i32)],

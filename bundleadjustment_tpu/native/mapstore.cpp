@@ -609,6 +609,22 @@ void map_refresh_point_descriptors(MapStore* m, const int32_t* ids,
   for (int32_t i = 0; i < n; ++i) refresh_descriptor(m, ids[i]);
 }
 
+// out[i] = 1 iff any observation of ids[i] is flagged outlier — the
+// reference viewer's inlier/outlier landmark partition
+// (src/visualization/Visualizer.cpp:79-89).
+void map_point_has_outlier_obs(const MapStore* m, const int32_t* ids,
+                               int32_t n, uint8_t* out) {
+  for (int32_t i = 0; i < n; ++i) {
+    out[i] = 0;
+    int32_t pt = ids[i];
+    if (pt < 0 || pt >= m->n_pt_slots || !m->pt_active[pt]) continue;
+    for (auto& o : m->pt_obs[pt]) {
+      if (!m->kf_active[o.kf]) continue;
+      if (m->kp_outlier[m->kp_base(o.kf) + o.kp]) { out[i] = 1; break; }
+    }
+  }
+}
+
 // Refresh every landmark observed (non-outlier) by frame `kf` — the batched
 // equivalent of the reference refreshing on each addObservation/fuse
 // (MapPoint.cpp:51-61,130-164): after a frame's observation writes, one pass

@@ -58,9 +58,16 @@ class LiveVisualizer:
 
     def snapshot(self, path=None):
         m = self.pipe.map
-        pts = self.pipe.map_points()
+        ids = m.active_points()
+        pts = m.pt_pos[ids].copy()
+        cols = m.pt_color[ids].copy()
+        # landmarks with any outlier observation render red, like the
+        # reference viewer's outlier cloud (Visualizer.cpp:79-89,116-121
+        # and the final _with_outliers PLY, :38-49)
+        bad = m.point_has_outlier_obs(ids)
+        cols[bad] = (255, 0, 0)
         verts = [pts]
-        colors = [np.full((len(pts), 3), 200, np.uint8)]
+        colors = [cols]
         ratio = self._gt_scale_ratio()
         for kf in m.active_keyframes():
             kf = int(kf)

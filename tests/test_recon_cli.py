@@ -39,6 +39,14 @@ def test_cli_reconstruction_error(tmp_path):
     # clean synthetic: normalized ICP fitness far below the reference's own
     # perturbed-cloud test bound of 0.1
     assert results["reconstruction_error"] < 0.05
+    # comparison PLYs (reference ReconstructionError.cpp:106-107,174)
+    import glob
+    from bundleadjustment_tpu.vis.mesh import read_ply_vertices
+    combined = glob.glob(os.path.join(out, "*_combined_colored_cloud.ply"))
+    assert combined, os.listdir(out)
+    assert glob.glob(os.path.join(out, "*_gt_cloud.ply"))
+    assert glob.glob(os.path.join(out, "*_estimated_cloud.ply"))
+    assert len(read_ply_vertices(combined[0])) > 0
 
 
 @pytest.mark.slow

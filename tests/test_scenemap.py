@@ -271,3 +271,17 @@ def test_refresh_frame_points_covers_tracked(small_map):
     assert n == 1
     descs = [m.kp_desc[k0, 0], m.kp_desc[k1, 0]]
     assert any(np.array_equal(m.pt_desc[p0], d) for d in descs)
+
+
+def test_point_has_outlier_obs(small_map):
+    m = small_map
+    k0 = add_simple_frame(m, 0.0)
+    k1 = add_simple_frame(m, 1.0)
+    p0 = m.add_point([0, 0, 4.0])
+    p1 = m.add_point([1, 0, 4.0])
+    m.add_observation(p0, k0, 0)
+    m.add_observation(p0, k1, 0)
+    m.add_observation(p1, k0, 1)
+    m.set_outlier(k1, 0, True)
+    flags = m.point_has_outlier_obs([p0, p1, -1, 10**6])
+    assert list(flags) == [True, False, False, False]
