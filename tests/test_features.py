@@ -109,3 +109,34 @@ def test_detect_batch_jit_consistency(rng):
     f2 = detect_and_describe(jnp.asarray(img), cfg)
     np.testing.assert_array_equal(np.asarray(f1.xy), np.asarray(f2.xy))
     np.testing.assert_array_equal(np.asarray(f1.desc), np.asarray(f2.desc))
+
+
+def test_fast_corners_bitpack_matches_naive():
+    """The packed shift-AND contiguous-9 test must equal the naive
+    16-start x 9-AND scan."""
+    import jax.numpy as jnp
+    from bundleadjustment_tpu.ops.features import _FAST_CIRCLE, fast_corners
+
+    rng = np.random.default_rng(7)
+    img = rng.random((48, 64)).astype(np.float32)
+    thr = 0.08
+
+    shifted = np.stack(
+        [np.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) for dy, dx in _FAST_CIRCLE]
+    )
+    bright = shifted > img[None] + thr
+    dark = shifted < img[None] - thr
+
+    def naive9(m):
+        m2 = np.concatenate([m, m[:8]], axis=0)
+        out = np.zeros_like(m[0])
+        for s in range(16):
+            run = m2[s].copy()
+            for j in range(1, 9):
+                run &= m2[s + j]
+            out |= run
+        return out
+
+    expect = naive9(bright) | naive9(dark)
+    got = np.asarray(fast_corners(jnp.asarray(img), thr))
+    np.testing.assert_array_equal(got, expect)
