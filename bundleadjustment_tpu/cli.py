@@ -58,6 +58,10 @@ def build_parser():
                    "fused Pallas kernel on TPU, XLA elsewhere)")
     p.add_argument("--no-fused-tracking", action="store_true", default=False,
                    help="run detect/match/BA as separate dispatches")
+    p.add_argument("--track-batch", type=int, default=8,
+                   help="device-resident tracking microbatch size: this many "
+                        "consecutive tracked frames run as one dispatch "
+                        "(<=1 disables)")
     p.add_argument("--ba-layout", choices=["flat", "dense_landmark"],
                    default="flat",
                    help="BA data layout: flat observation table, or the "
@@ -130,6 +134,7 @@ def main(argv=None):
         ba_layout=args.ba_layout,
         matcher=args.matcher,
         fused_tracking=not args.no_fused_tracking,
+        track_batch=args.track_batch,
         seed=args.seed,
         verbose=args.verbose,
     )

@@ -60,6 +60,13 @@ class PipelineConfig:
     fused_tracking: bool = True  # ba/pnp: run detect+match+associate+motion-
     #   only BA of a tracked frame as ONE device dispatch (latency win on
     #   remote TPUs); False falls back to separate dispatches
+    track_batch: int = 8  # device-resident tracking microbatch: process_frames
+    #   runs up to this many consecutive tracked frames as ONE lax.scan
+    #   dispatch, propagating the per-keypoint landmark association state on
+    #   device between frames (SURVEY.md §7 hard part (d): amortizes the
+    #   host<->device round-trip of data-dependent keyframe decisions over the
+    #   batch).  Frames after the first keyframe/loss in a batch are discarded
+    #   and re-run, since the keyframe mutates the map.  <=1 disables.
     pnp_translation_guard: float = 1.0  # ||t|| jump reject (SfMHelper.cpp:76-80)
 
     # covisibility / windows

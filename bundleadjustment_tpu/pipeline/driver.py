@@ -157,6 +157,73 @@ def _track_fused_jit(gray, prev_desc, prev_valid, prev_xyz, prev_ok,
     return f, idx, dist, ok, rt[0], inl[0]
 
 
+@partial(jax.jit, static_argnames=("feat_cfg", "ratio", "use_pallas",
+                                   "assoc_max", "mcfg", "max_obs",
+                                   "min_track", "pnp_guard"))
+def _track_batch_jit(grays, prev_desc, prev_valid, prev_xyz, prev_ok,
+                     last_extr, prev_extr, K4, *, feat_cfg, ratio, use_pallas,
+                     assoc_max, mcfg, max_obs, min_track, pnp_guard):
+    """Device-resident tracking microbatch: `lax.scan` over B frames.
+
+    Each step runs the full tracked-frame recurrence on device — constant-
+    velocity prediction, detection, matching, landmark association, motion-
+    only BA — and propagates the per-keypoint landmark state (position +
+    trackability) to the next frame through the match permutation, exactly
+    mirroring the host's observation writes for inlier associations (the map
+    itself does not change across consecutive non-keyframe tracked frames:
+    the only mutations are inlier kp->landmark writes and the erase of the
+    previous non-keyframe, neither of which alters what the next frame can
+    track).  One dispatch + one fetch per B frames instead of per frame —
+    the SURVEY.md §7(d) amortization of the data-dependent keyframe sync.
+
+    Results for frames after the first keyframe/tracking-loss in the batch
+    are invalid (the host discards and re-runs them): a keyframe triangulates
+    new landmarks and runs BA, which this scan cannot see.
+    """
+    from bundleadjustment_tpu.geometry import se3
+
+    M = prev_desc.shape[0]
+
+    def step(carry, gray):
+        desc_p, valid_p, xyz_p, ok_p, extr1, extr2 = carry
+        # constant-velocity prediction (host analogue: _predict_extr)
+        vel = se3.rt6_compose(extr1, se3.rt6_inverse(extr2))
+        pred = se3.rt6_compose(vel, extr1)
+        f = detect_and_describe(gray, feat_cfg)
+        idx, dist = _match_prev(f, desc_p, valid_p, ratio, use_pallas)
+        ok = (idx >= 0) & ok_p & (dist < assoc_max)
+        ok = ok & (jnp.cumsum(ok) <= max_obs)
+        safe = jnp.clip(idx, 0, None)
+        rt, inl = motion_only_ba(
+            K4, pred[None], xyz_p[None], f.xy[safe][None],
+            f.sigma2[safe][None], ok[None], mcfg,
+        )
+        rt, inl = rt[0], inl[0]
+        # the host's fallback rules (min associations; PnP translation jump
+        # guard) decide whether observations are written — replicate them so
+        # the propagated state matches the map the host will actually build
+        good = jnp.sum(ok) >= min_track
+        if pnp_guard is not None:
+            good = good & (jnp.linalg.norm(rt[3:] - pred[3:]) < pnp_guard)
+        extr = jnp.where(good, rt, pred)
+        eff = ok & inl & good
+        # propagate landmark state through the (injective) match permutation:
+        # current keypoint j inherits prev keypoint i's landmark iff i was an
+        # effective inlier association (== the host's kp_pt write rule)
+        tgt = jnp.where(eff, safe, M)  # M = out-of-bounds drop slot
+        xyz_n = jnp.zeros_like(xyz_p).at[tgt].set(xyz_p, mode="drop")
+        ok_n = jnp.zeros_like(ok_p).at[tgt].set(eff, mode="drop")
+        carry_n = (f.desc, f.valid, xyz_n, ok_n, extr, extr1)
+        out = (f.xy, f.octave, f.sigma2, f.desc, f.valid, idx, dist, ok, inl,
+               rt)
+        return carry_n, out
+
+    init = (prev_desc, prev_valid, prev_xyz, prev_ok,
+            last_extr.astype(jnp.float32), prev_extr.astype(jnp.float32))
+    _, outs = jax.lax.scan(step, init, grays)
+    return outs
+
+
 @jax.jit
 def _tri_batch_jit(K4, extr_a, extr_b, xa, xb, sa, sb, valid):
     """Gated triangulation vmapped over a neighbor axis (extr_a shared)."""
@@ -335,6 +402,144 @@ class BundleAdjustmentPipeline:
                 desc_dev=f.desc, valid_dev=f.valid,
             )
             return feats, idx, dist, ok, rt.astype(np.float64), inl
+
+    def _track_batch(self, grays):
+        """Run the device-resident tracking microbatch over `grays`.
+
+        Returns one precomputed tuple per input frame, shaped exactly like
+        the single-frame fused path's outputs: (feats, matches, dists,
+        assoc_ok, rt6, inliers).
+        """
+        prev = self.last_feats
+        if prev.desc_dev is None:
+            prev.desc_dev = jnp.asarray(prev.desc)
+            prev.valid_dev = jnp.asarray(prev.valid)
+        xyz, okm = self._prev_track
+        mcfg = MotionOnlyConfig(
+            outer_iters=self.cfg.motion_outer,
+            inner_iters=self.cfg.motion_inner,
+            robust=self.cfg.estimation == "ba",
+        )
+        B = len(grays)
+        cap = max(int(self.cfg.track_batch), 1)
+        gstack = np.stack([np.asarray(g, np.float32) for g in grays])
+        if B < cap:  # pad to the compiled batch shape; padding is discarded
+            gstack = np.concatenate(
+                [gstack, np.repeat(gstack[-1:], cap - B, 0)]
+            )
+        with self.timers.phase("frontend"):
+            out = _track_batch_jit(
+                jnp.asarray(gstack), prev.desc_dev, prev.valid_dev,
+                jnp.asarray(xyz), jnp.asarray(okm),
+                jnp.asarray(self.last_extr, jnp.float32),
+                jnp.asarray(self.prev_extr, jnp.float32),
+                jnp.asarray(self.K4),
+                feat_cfg=self.feat_cfg, ratio=self.cfg.match_ratio,
+                use_pallas=self._use_pallas_matcher,
+                assoc_max=self.cfg.assoc_max_dist, mcfg=mcfg,
+                max_obs=self.cfg.max_track_obs,
+                min_track=self.cfg.min_track_points,
+                pnp_guard=(self.cfg.pnp_translation_guard
+                           if self.cfg.estimation == "pnp" else None),
+            )
+            xy, octv, sig2, desc, valid, idx, dist, ok, inl, rt = (
+                jax.device_get(out)
+            )
+        desc_dev, valid_dev = out[3], out[4]  # device-resident [B, ...]
+        pre = []
+        for k in range(B):
+            feats = FrameFeatures(
+                xy=xy[k], octave=octv[k], sigma2=sig2[k],
+                desc=desc[k], valid=valid[k],
+                desc_dev=desc_dev[k], valid_dev=valid_dev[k],
+            )
+            pre.append((feats, idx[k], dist[k], ok[k],
+                        rt[k].astype(np.float64), inl[k]))
+        return pre
+
+    def _can_batch_track(self):
+        return (
+            self.cfg.track_batch > 1
+            and self.initialized
+            and self.cfg.fused_tracking
+            and not self.cfg.track_local_map
+            and self.cfg.estimation in ("ba", "pnp")
+            and getattr(self, "_prev_track", None) is not None
+        )
+
+    def process_frames(self, frames, timings=None, max_frames=None):
+        """Process an iterable of FrameData with tracking microbatches.
+
+        When `cfg.track_batch > 1` and tracking is steady, up to track_batch
+        consecutive frames run as one device dispatch (`_track_batch_jit`);
+        each frame's host bookkeeping then replays through `process_frame`
+        with the precomputed device results.  Frames following a keyframe or
+        a tracking loss inside a batch are discarded and re-run, because the
+        keyframe mutates the map the batch's association chain assumed
+        frozen.
+
+        Returns the list of per-frame status strings (stops after
+        "tracking-lost").  `timings`, if given, receives one attributed
+        wall-time per processed frame (device batch time split across the
+        frames the batch actually delivered).
+        """
+        import time as _time
+        from collections import deque
+
+        it = iter(frames)
+        pending: deque = deque()
+        drawn = 0
+        exhausted = False
+
+        def refill(n):
+            nonlocal drawn, exhausted
+            while (not exhausted and len(pending) < n
+                   and (max_frames is None or drawn < max_frames)):
+                try:
+                    pending.append(next(it))
+                    drawn += 1
+                except StopIteration:
+                    exhausted = True
+
+        B = max(int(self.cfg.track_batch), 1)
+        statuses = []
+        while True:
+            refill(B if self._can_batch_track() else 1)
+            if not pending:
+                break
+            if not self._can_batch_track():
+                t0 = _time.perf_counter()
+                s = self.process_frame(pending.popleft())
+                if timings is not None:
+                    timings.append(_time.perf_counter() - t0)
+                statuses.append(s)
+                if s == "tracking-lost":
+                    break
+                continue
+            chunk = [pending.popleft() for _ in range(min(B, len(pending)))]
+            t0 = _time.perf_counter()
+            pre = self._track_batch([f.gray for f in chunk])
+            t_dev = _time.perf_counter() - t0
+            consumed = 0
+            for k, f in enumerate(chunk):
+                t1 = _time.perf_counter()
+                s = self.process_frame(f, precomputed=pre[k])
+                statuses.append(s)
+                consumed += 1
+                if timings is not None:
+                    timings.append(_time.perf_counter() - t1)
+                if s != "tracked":
+                    break
+            # return unconsumed frames to the queue for re-processing
+            for f in reversed(chunk[consumed:]):
+                pending.appendleft(f)
+            if timings is not None:
+                # split the device batch time across delivered frames
+                for j in range(consumed):
+                    timings[-1 - j] += t_dev / consumed
+            if statuses[-1] == "tracking-lost":
+                break
+        return statuses
 
     def _capture_track_state(self, slot, feats):
         """Host-side capture of the new last frame's per-keypoint landmark
@@ -1079,8 +1284,12 @@ class BundleAdjustmentPipeline:
     # main loop
     # ------------------------------------------------------------------
 
-    def process_frame(self, frame):
-        """Process one FrameData.  Returns a status string."""
+    def process_frame(self, frame, precomputed=None):
+        """Process one FrameData.  Returns a status string.
+
+        `precomputed` (from `_track_batch`) carries this frame's device
+        results — (feats, matches, dists, assoc_ok, rt6, inliers) — so the
+        host bookkeeping replays without a per-frame dispatch."""
         cfg = self.cfg
         m = self.map
         # fused detect+match against the frame we will match anyway (last
@@ -1088,7 +1297,10 @@ class BundleAdjustmentPipeline:
         # device dispatch instead of two
         prev = self.last_feats if self.initialized else self.ref_feats
         fused_rt = fused_inl = assoc_ok = pred_extr = None
-        if (self.initialized and cfg.fused_tracking
+        if precomputed is not None:
+            pred_extr = self._predict_extr()
+            feats, matches, dists, assoc_ok, fused_rt, fused_inl = precomputed
+        elif (self.initialized and cfg.fused_tracking
                 and cfg.estimation in ("ba", "pnp")
                 and getattr(self, "_prev_track", None) is not None):
             # fully-fused tracked frame: detect + match + associate +
@@ -1394,16 +1606,20 @@ class BundleAdjustmentPipeline:
         return self.map.pt_pos[ids].copy(), self.map.pt_color[ids].copy()
 
     def run(self, dataset):
-        """Full pipeline over an iterable of FrameData."""
-        for i, frame in enumerate(dataset):
-            if i >= self.cfg.max_frames:
-                break
-            status = self.process_frame(frame)
-            if self.cfg.verbose:
-                print(f"[{i:4d}] {status}  kfs={self.stats['keyframes']} "
-                      f"pts={len(self.map.active_points())}")
-            if status == "tracking-lost":
-                break
+        """Full pipeline over an iterable of FrameData (microbatched tracking
+        when cfg.track_batch > 1; see process_frames)."""
+        if self.cfg.track_batch > 1 and not self.cfg.verbose:
+            self.process_frames(dataset, max_frames=self.cfg.max_frames)
+        else:
+            for i, frame in enumerate(dataset):
+                if i >= self.cfg.max_frames:
+                    break
+                status = self.process_frame(frame)
+                if self.cfg.verbose:
+                    print(f"[{i:4d}] {status}  kfs={self.stats['keyframes']} "
+                          f"pts={len(self.map.active_points())}")
+                if status == "tracking-lost":
+                    break
         self.finalize()
         self.stats["phase_times"] = self.timers.report()
         return self.stats

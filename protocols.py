@@ -54,15 +54,11 @@ def run_protocol(frames, K4, cfg, width, height, warmup=10):
     ds = make_dataset(frames)
     pipe = BundleAdjustmentPipeline(cfg, K4, width, height)
     t_start = time.perf_counter()
-    frame_times = []
-    for i, frame in enumerate(ds):
-        t0 = time.perf_counter()
-        status = pipe.process_frame(frame)
-        frame_times.append((time.perf_counter() - t0, status))
-        if status == "tracking-lost":
-            break
+    timings = []
+    statuses = pipe.process_frames(ds, timings=timings)
     pipe.finalize()
     wall = time.perf_counter() - t_start
+    frame_times = list(zip(timings, statuses))
 
     # steady-state tracked-frame fps: median over post-warmup tracked frames
     tracked = [t for t, s in frame_times[warmup:] if s == "tracked"]

@@ -106,10 +106,14 @@ def test_fused_tracking_matches_split_dispatches():
     as the split detect/match/associate/motion-only path (identical math,
     different fusion)."""
     kw = dict(n_frames=6, motion_step=0.06)
+    # track_batch=1: this compares the single-frame fused dispatch against
+    # the split path (batch-vs-fused parity has its own test below)
     cfg_f = PipelineConfig(init_type="gtdepth", estimation="ba",
-                           n_features=200, n_levels=3, fused_tracking=True)
+                           n_features=200, n_levels=3, fused_tracking=True,
+                           track_batch=1)
     cfg_s = PipelineConfig(init_type="gtdepth", estimation="ba",
-                           n_features=200, n_levels=3, fused_tracking=False)
+                           n_features=200, n_levels=3, fused_tracking=False,
+                           track_batch=1)
     _, pipe_f, _ = run_and_ate(cfg_f, **kw)
     _, pipe_s, _ = run_and_ate(cfg_s, **kw)
     ts_f, m_f = pipe_f.trajectory_cam_to_world()
@@ -117,3 +121,59 @@ def test_fused_tracking_matches_split_dispatches():
     assert len(ts_f) == len(ts_s)
     np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_s),
                                atol=1e-4)
+
+
+def test_batched_tracking_matches_per_frame():
+    """The device-resident tracking microbatch (track_batch>1, one lax.scan
+    dispatch per B frames with on-device association-state propagation) must
+    reproduce the per-frame fused path: same statuses, same keyframes, same
+    map, same trajectory (up to f32-vs-f64 constant-velocity seeding)."""
+    frames, K4 = render_plane_sequence(
+        n_frames=12, width=160, height=120, motion_step=0.05,
+        fx=150.0, fy=150.0,
+    )
+    ds = frames_to_framedata(frames)
+    base = dict(init_type="gtdepth", estimation="ba", n_features=200,
+                n_levels=3, local_ba=False, final_ba_outer=1,
+                final_ba_iters=10, fused_tracking=True)
+    pipe_b = BundleAdjustmentPipeline(
+        PipelineConfig(track_batch=4, **base), K4, 160, 120)
+    pipe_1 = BundleAdjustmentPipeline(
+        PipelineConfig(track_batch=1, **base), K4, 160, 120)
+    st_b = pipe_b.process_frames(ds)
+    st_1 = [pipe_1.process_frame(f) for f in ds]
+    pipe_b.finalize()
+    pipe_1.finalize()
+    assert st_b == st_1
+    assert pipe_b.stats["keyframes"] == pipe_1.stats["keyframes"]
+    assert len(pipe_b.map.active_points()) == len(pipe_1.map.active_points())
+    ts_b, m_b = pipe_b.trajectory_cam_to_world()
+    ts_1, m_1 = pipe_1.trajectory_cam_to_world()
+    assert len(ts_b) == len(ts_1)
+    # 1e-3: the batch kernel seeds motion-only BA from an f32 on-device
+    # constant-velocity prediction; the per-frame path composes it in f64
+    np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_1), atol=1e-3)
+
+
+def test_batched_tracking_pnp_guard_parity():
+    """PnP mode: the batch kernel's on-device translation-jump guard and
+    min-association fallback must replicate the host rules."""
+    frames, K4 = render_plane_sequence(
+        n_frames=10, width=160, height=120, motion_step=0.05,
+        fx=150.0, fy=150.0,
+    )
+    ds = frames_to_framedata(frames)
+    base = dict(init_type="gtdepth", estimation="pnp", n_features=200,
+                n_levels=3, local_ba=False, final_ba_outer=1,
+                final_ba_iters=10, fused_tracking=True)
+    pipe_b = BundleAdjustmentPipeline(
+        PipelineConfig(track_batch=4, **base), K4, 160, 120)
+    pipe_1 = BundleAdjustmentPipeline(
+        PipelineConfig(track_batch=1, **base), K4, 160, 120)
+    st_b = pipe_b.process_frames(ds)
+    st_1 = [pipe_1.process_frame(f) for f in ds]
+    assert st_b == st_1
+    ts_b, m_b = pipe_b.trajectory_cam_to_world()
+    ts_1, m_1 = pipe_1.trajectory_cam_to_world()
+    assert len(ts_b) == len(ts_1)
+    np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_1), atol=1e-3)
