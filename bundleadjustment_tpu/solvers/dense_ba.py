@@ -307,6 +307,15 @@ def _mat3vec_cm(M, x):
 
 
 _TRIU6 = [(i, j) for i in range(6) for j in range(i, 6)]  # 21 unique entries
+# [6, 6] map from (i, j) to its upper-triangle slot: one gather rebuilds the
+# full symmetric matrix from the 21 reduced rows
+_SYM6_IDX = np.zeros((6, 6), np.int32)
+for _n, (_i, _j) in enumerate(_TRIU6):
+    _SYM6_IDX[_i, _j] = _SYM6_IDX[_j, _i] = _n
+_TRIU3 = [(i, j) for i in range(3) for j in range(i, 3)]  # 6 unique entries
+_SYM3_IDX = np.zeros((3, 3), np.int32)
+for _n, (_i, _j) in enumerate(_TRIU3):
+    _SYM3_IDX[_i, _j] = _SYM3_IDX[_j, _i] = _n
 
 
 def _build_blocks_cm(cm: _CM, r, Jc, Jp, lam, psum, bf16=False):
@@ -320,22 +329,15 @@ def _build_blocks_cm(cm: _CM, r, Jc, Jp, lam, psum, bf16=False):
     rows += [sum(Jc[a, i] * r[a] for a in range(2)) for i in range(6)]
     stacked = jnp.stack(rows)  # [27, O, L]
     red = psum(_reduce_cams(stacked, cm, K, bf16=bf16))  # [K, 27]
-    U = jnp.zeros((K, 6, 6), red.dtype)
-    for n, (i, j) in enumerate(_TRIU6):
-        U = U.at[:, i, j].set(red[:, n])
-        if i != j:
-            U = U.at[:, j, i].set(red[:, n])
+    U = red[:, _SYM6_IDX]  # [K, 6, 6] via one gather
     g_c = red[:, 21:]
 
-    # V symmetric likewise: 6 unique [L] reductions
-    Vu = {
-        (i, j): jnp.sum(Jp[0, i] * Jp[0, j] + Jp[1, i] * Jp[1, j], axis=0)
-        for i in range(3) for j in range(i, 3)
-    }
-    V = jnp.stack([
-        jnp.stack([Vu[(min(i, j), max(i, j))] for j in range(3)])
-        for i in range(3)
-    ])  # [3, 3, L]
+    # V symmetric likewise: 6 unique [L] reductions, one stack + gather
+    Vu = jnp.stack([
+        jnp.sum(Jp[0, i] * Jp[0, j] + Jp[1, i] * Jp[1, j], axis=0)
+        for i, j in _TRIU3
+    ])  # [6, L]
+    V = Vu[_SYM3_IDX]  # [3, 3, L]
     g_p = jnp.stack([jnp.sum(Jp[0, i] * r[0] + Jp[1, i] * r[1], axis=0)
                      for i in range(3)])  # [3, L]
     W = jnp.stack([

@@ -46,7 +46,8 @@ def dense_ba_iter_flops(K: int, L: int, O: int, solver: str = "dense",
     - residuals+jacobians: projection, duv_dx, J_phi/Jp contractions —
       elementwise over [O, L] (~420 FLOPs/obs counted from the unrolled
       component loops);
-    - block build: U/g_c one-hot reduce (42 rows), V (9), g_p (6), W (36);
+    - block build: U/g_c one-hot reduce (21 symmetric-unique U rows + 6
+      gradient rows = 27), V (6 unique), g_p (6), W (36);
     - schur (exact): G build, Pf one-hot batched matmul, S = QQ^T
       (the dominant term: 2*(6K)^2*(3L)), Cholesky (6K)^3/3, solve;
     - schur (pcg): per-CG-iteration matvec = gather + W-chain + reduce;
@@ -55,9 +56,9 @@ def dense_ba_iter_flops(K: int, L: int, O: int, solver: str = "dense",
     OL = O * L
     br = {}
     br["resid_jac"] = 420 * OL
-    # U (36 rows) + g_c (6 rows) via one-hot [K, O*L] matmul
-    br["reduce_U"] = 2 * 42 * K * OL
-    br["V_gp_W"] = (2 * 9 + 2 * 3 + 36) * OL
+    # U (21 unique symmetric rows) + g_c (6 rows) via one-hot [K, O*L] matmul
+    br["reduce_U"] = 2 * 27 * K * OL
+    br["V_gp_W"] = (2 * 6 + 2 * 3 + 36) * OL
     # camera gather of [K,12] pose table
     br["gather_pose"] = 2 * 12 * K * OL
     if solver == "dense":
