@@ -66,6 +66,10 @@ def build_parser():
                    default="flat",
                    help="BA data layout: flat observation table, or the "
                         "TPU-optimized dense landmark-major layout")
+    p.add_argument("--predetect", action="store_true", default=False,
+                   help="run the data-parallel batched frontend over all "
+                        "frames up front (frame axis sharded over all local "
+                        "devices), then track with match+estimate only")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true", default=False)
     return p
@@ -149,7 +153,19 @@ def main(argv=None):
 
         viz = LiveVisualizer(pipe, args.output_path, interval_s=1.0)
 
-    stats = pipe.run(ds)
+    mesh = None
+    if args.predetect:
+        import jax
+        import numpy as np_
+
+        from bundleadjustment_tpu.parallel.frontend import FRAME_AXIS
+
+        devs = jax.devices()
+        if len(devs) > 1:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np_.array(devs), (FRAME_AXIS,))
+    stats = pipe.run(ds, predetect=args.predetect, mesh=mesh)
     if viz is not None:
         viz.close()
 

@@ -126,6 +126,23 @@ def _frontend_jit(gray, prev_desc, prev_valid, *, feat_cfg, ratio, use_pallas):
     return f, idx, dist
 
 
+@partial(jax.jit, static_argnames=("ratio", "use_pallas"))
+def _match_only_jit(desc, valid, prev_desc, prev_valid, *, ratio, use_pallas):
+    """Match pre-detected descriptors against the previous frame's.
+
+    The predetect path's per-frame dispatch: detection already ran in the
+    data-parallel batched frontend (`parallel/frontend.py`), so tracking only
+    matches.  Same matcher semantics as `_match_prev`."""
+    if use_pallas:
+        return match_descriptors_fused(
+            prev_desc, desc, valid_a=prev_valid, valid_b=valid, ratio=ratio
+        )
+    return match_descriptors(
+        prev_desc, desc, valid_a=prev_valid, valid_b=valid,
+        metric="hamming", ratio=ratio,
+    )
+
+
 @partial(jax.jit, static_argnames=("feat_cfg", "ratio", "use_pallas",
                                    "assoc_max", "mcfg", "max_obs"))
 def _track_fused_jit(gray, prev_desc, prev_valid, prev_xyz, prev_ok,
@@ -467,8 +484,39 @@ class BundleAdjustmentPipeline:
             and getattr(self, "_prev_track", None) is not None
         )
 
-    def process_frames(self, frames, timings=None, max_frames=None):
+    def predetect_features(self, frames, mesh=None, chunk=32):
+        """Data-parallel frame frontend: detect features for all frames up
+        front, frame axis sharded over `mesh` (`parallel/frontend.py`).
+
+        The reference detects inside the sequential tracking loop
+        (`BundleAdjustment.cpp:79-80`); detection is frame-independent, so
+        offline/mapping runs batch it across devices and the tracking loop
+        consumes the results via `process_frames(..., prefeats=...)`.
+        Returns a list of FrameFeatures (host arrays; device copies are
+        created lazily on first match)."""
+        from bundleadjustment_tpu.parallel.frontend import detect_batch_sharded
+
+        out = []
+        grays = [np.asarray(f.gray, np.float32) for f in frames]
+        for s in range(0, len(grays), chunk):
+            block = np.stack(grays[s:s + chunk])
+            with self.timers.phase("detect"):
+                f = detect_batch_sharded(block, self.feat_cfg, mesh=mesh)
+                fh = jax.device_get(f)
+            for k in range(block.shape[0]):
+                out.append(FrameFeatures(
+                    xy=fh.xy[k], octave=fh.octave[k], sigma2=fh.sigma2[k],
+                    desc=fh.desc[k], valid=fh.valid[k],
+                ))
+        return out
+
+    def process_frames(self, frames, timings=None, max_frames=None,
+                       prefeats=None):
         """Process an iterable of FrameData with tracking microbatches.
+
+        `prefeats`: per-frame FrameFeatures from `predetect_features` —
+        disables the fused/microbatched dispatch (detection already ran) and
+        tracks via the split match+estimate path.
 
         When `cfg.track_batch > 1` and tracking is steady, up to track_batch
         consecutive frames run as one device dispatch (`_track_batch_jit`);
@@ -485,6 +533,20 @@ class BundleAdjustmentPipeline:
         """
         import time as _time
         from collections import deque
+
+        if prefeats is not None:
+            statuses = []
+            for f, pf in zip(frames, prefeats):
+                if max_frames is not None and len(statuses) >= max_frames:
+                    break
+                t0 = _time.perf_counter()
+                s = self.process_frame(f, prefeats=pf)
+                if timings is not None:
+                    timings.append(_time.perf_counter() - t0)
+                statuses.append(s)
+                if s == "tracking-lost":
+                    break
+            return statuses
 
         it = iter(frames)
         pending: deque = deque()
@@ -1284,12 +1346,16 @@ class BundleAdjustmentPipeline:
     # main loop
     # ------------------------------------------------------------------
 
-    def process_frame(self, frame, precomputed=None):
+    def process_frame(self, frame, precomputed=None, prefeats=None):
         """Process one FrameData.  Returns a status string.
 
         `precomputed` (from `_track_batch`) carries this frame's device
         results — (feats, matches, dists, assoc_ok, rt6, inliers) — so the
-        host bookkeeping replays without a per-frame dispatch."""
+        host bookkeeping replays without a per-frame dispatch.
+
+        `prefeats` (from `predetect_features`) carries this frame's features
+        from the data-parallel batched frontend; the frame's tracking then
+        only matches + estimates (split path)."""
         cfg = self.cfg
         m = self.map
         # fused detect+match against the frame we will match anyway (last
@@ -1300,6 +1366,25 @@ class BundleAdjustmentPipeline:
         if precomputed is not None:
             pred_extr = self._predict_extr()
             feats, matches, dists, assoc_ok, fused_rt, fused_inl = precomputed
+        elif prefeats is not None:
+            feats = prefeats
+            if prev is not None:
+                with self.timers.phase("frontend"):
+                    if prev.desc_dev is None:
+                        prev.desc_dev = jnp.asarray(prev.desc)
+                        prev.valid_dev = jnp.asarray(prev.valid)
+                    if feats.desc_dev is None:
+                        feats.desc_dev = jnp.asarray(feats.desc)
+                        feats.valid_dev = jnp.asarray(feats.valid)
+                    idx, dist = _match_only_jit(
+                        feats.desc_dev, feats.valid_dev,
+                        prev.desc_dev, prev.valid_dev,
+                        ratio=cfg.match_ratio,
+                        use_pallas=self._use_pallas_matcher,
+                    )
+                    matches, dists = jax.device_get((idx, dist))
+            else:
+                matches = dists = None
         elif (self.initialized and cfg.fused_tracking
                 and cfg.estimation in ("ba", "pnp")
                 and getattr(self, "_prev_track", None) is not None):
@@ -1605,10 +1690,25 @@ class BundleAdjustmentPipeline:
         ids = self.map.active_points()
         return self.map.pt_pos[ids].copy(), self.map.pt_color[ids].copy()
 
-    def run(self, dataset):
+    def run(self, dataset, predetect=False, mesh=None):
         """Full pipeline over an iterable of FrameData (microbatched tracking
-        when cfg.track_batch > 1; see process_frames)."""
-        if self.cfg.track_batch > 1 and not self.cfg.verbose:
+        when cfg.track_batch > 1; see process_frames).
+
+        predetect=True: run the data-parallel batched frontend over all
+        frames first (frame axis sharded over `mesh` when given), then track
+        with per-frame match+estimate dispatches only."""
+        if predetect:
+            frames = []
+            for i, frame in enumerate(dataset):
+                if i >= self.cfg.max_frames:
+                    break
+                frames.append(frame)
+            pf = self.predetect_features(frames, mesh=mesh)
+            statuses = self.process_frames(frames, prefeats=pf)
+            if self.cfg.verbose:
+                for i, status in enumerate(statuses):
+                    print(f"[{i:4d}] {status}")
+        elif self.cfg.track_batch > 1 and not self.cfg.verbose:
             self.process_frames(dataset, max_frames=self.cfg.max_frames)
         else:
             for i, frame in enumerate(dataset):
