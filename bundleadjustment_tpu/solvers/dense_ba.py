@@ -199,30 +199,34 @@ def _project_cm(cm: _CM, R, t, Xt):
     return x_cam, RX, Rg, u, v, z, inv_z
 
 
-def _cost_cm(cm: _CM, R, t, Xt, robust):
-    _xc, _RX, _Rg, u, v, z, _iz = _project_cm(cm, R, t, Xt)
-    r2 = ((u - cm.uv_t[0]) ** 2 + (v - cm.uv_t[1]) ** 2) * cm.inv_sigma2_t
-    if robust:
-        nrm = jnp.sqrt(jnp.maximum(r2, 1e-20))
-        rho = jnp.where(nrm <= HUBER_DELTA, 0.5 * r2,
-                        HUBER_DELTA * (nrm - 0.5 * HUBER_DELTA))
-    else:
-        rho = 0.5 * r2
-    rho = jnp.where(z > 1e-6, rho, CHEIRALITY_PENALTY)
-    return jnp.sum(jnp.where(cm.valid_t, rho, 0.0))
+def _eval_cm(cm: _CM, R, t, Xt, robust):
+    """One fused pass: robust cost + residuals + Jacobians at (R, t, Xt).
 
-
-def _residuals_jacobians_cm(cm: _CM, R, t, Xt, robust):
-    """Component-major residuals + Jacobians.
-
-    Returns r [2,O,L], Jc [2,6,O,L], Jp [2,3,O,L].  Mirrors the math of the
-    reference's AngleReprojectionError (`ba_project/src/ba/Optimizer.h:49-88`)
-    with a left-multiplicative so(3) perturbation.
+    Returns (cost, r [2,O,L], Jc [2,6,O,L], Jp [2,3,O,L]).  The LM scan
+    evaluates every trial point exactly once: the cost decides accept/reject
+    and the residual/Jacobian blocks are carried into the next iteration if
+    accepted — the projection and residual work is never repeated (the split
+    cost-then-Jacobians form paid a second full projection pass per
+    iteration).  Mirrors the math of the reference's AngleReprojectionError
+    (`ba_project/src/ba/Optimizer.h:49-88`) with a left-multiplicative so(3)
+    perturbation.
     """
     x_cam, RX, Rg, u, v, z, inv_z = _project_cm(cm, R, t, Xt)
     fx, fy = cm.K4[0], cm.K4[1]
     isig = cm.inv_sigma_t
     r = jnp.stack([(u - cm.uv_t[0]) * isig, (v - cm.uv_t[1]) * isig])
+
+    # robust cost from the sigma-weighted residuals (matches the reference's
+    # Huber(sqrt(5.991)) objective, `ba_project/src/ba/Optimizer.cpp:312`)
+    r2 = r[0] ** 2 + r[1] ** 2
+    if robust:
+        nrm2 = jnp.sqrt(jnp.maximum(r2, 1e-20))
+        rho = jnp.where(nrm2 <= HUBER_DELTA, 0.5 * r2,
+                        HUBER_DELTA * (nrm2 - 0.5 * HUBER_DELTA))
+    else:
+        rho = 0.5 * r2
+    rho = jnp.where(z > 1e-6, rho, CHEIRALITY_PENALTY)
+    cost = jnp.sum(jnp.where(cm.valid_t, rho, 0.0))
 
     zero = jnp.zeros_like(inv_z)
     # duv_dx [2, 3, O, L] (including inv_sigma weighting)
@@ -255,13 +259,13 @@ def _residuals_jacobians_cm(cm: _CM, R, t, Xt, robust):
     mask = cm.valid_t & (z > 1e-6)
     w = jnp.where(mask, 1.0, 0.0)
     if robust:
-        nrm = jnp.sqrt(jnp.maximum(r[0] ** 2 + r[1] ** 2, 1e-24))
+        nrm = jnp.sqrt(jnp.maximum(r2, 1e-24))
         w = w * jnp.where(nrm <= HUBER_DELTA, 1.0, HUBER_DELTA / nrm)
     sw = jnp.sqrt(w)
     r = jnp.where(mask, r * sw, 0.0)
     Jc = Jc * jnp.where(cm.fixed_t, 0.0, sw)
     Jp = Jp * sw
-    return r, Jc, Jp
+    return cost, r, Jc, Jp
 
 
 def _sym3_inv_cm(V):
@@ -374,13 +378,16 @@ def _w_apply(W, z_pt):
 
 
 def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
-    """Build the (step, cost) pair for `lax.scan`.  `psum` is the cross-shard
-    reduction hook: identity single-device, `lax.psum` inside shard_map."""
+    """Build the (step, eval_at) pair for `lax.scan`.  `psum` is the
+    cross-shard reduction hook: identity single-device, `lax.psum` inside
+    shard_map.  `eval_at(R, t, Xt) -> (cost, r, Jc, Jp)` seeds the scan
+    state; `step` carries the trial-point blocks forward on acceptance."""
     K = cm.cam_fixed.shape[0]
     bf16 = config.mxu_bf16
 
-    def cost_of(R, t, Xt):
-        return psum(_cost_cm(cm, R, t, Xt, config.robust))
+    def eval_at(R, t, Xt):
+        cost, r, Jc, Jp = _eval_cm(cm, R, t, Xt, config.robust)
+        return psum(cost), r, Jc, Jp
 
     def solve_cameras(U, g_c, V_inv, g_p, W):
         zv = _mat3vec_cm(V_inv, g_p)
@@ -448,8 +455,7 @@ def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
         return dc
 
     def step(state, _):
-        R, t, Xt, lam, nu, cost, done = state
-        r, Jc, Jp = _residuals_jacobians_cm(cm, R, t, Xt, config.robust)
+        R, t, Xt, lam, nu, cost, done, r, Jc, Jp = state
         U, g_c, V, g_p, W = _build_blocks_cm(cm, r, Jc, Jp, lam, psum,
                                              bf16=bf16)
         V_inv = _sym3_inv_cm(V)
@@ -467,7 +473,7 @@ def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
         t_new = t + dt
         Xt_new = Xt + dp
 
-        new_cost = cost_of(R_new, t_new, Xt_new)
+        new_cost, r_new, Jc_new, Jp_new = eval_at(R_new, t_new, Xt_new)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
         sel = lambda a, b2: jnp.where(accept & ~done, a, b2)
         rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
@@ -477,9 +483,10 @@ def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
             jnp.where(done, nu, jnp.where(accept, 2.0, nu * 2.0)),
             sel(new_cost, cost),
             done | (accept & (rel < config.rtol)),
+            sel(r_new, r), sel(Jc_new, Jc), sel(Jp_new, Jp),
         ), new_cost
 
-    return step, cost_of
+    return step, eval_at
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -493,13 +500,14 @@ def dense_ba_solve(prob: DenseBAProblem, cam_rt6, points, config=LMConfig()):
     t0 = cam_rt6[:, 3:]
     Xt0 = points.T
 
-    step, cost_of = _make_step(cm, config)
-    cost0 = cost_of(R0, t0, Xt0)
+    step, eval_at = _make_step(cm, config)
+    cost0, r0, Jc0, Jp0 = eval_at(R0, t0, Xt0)
     init = (
         R0, t0, Xt0, jnp.asarray(config.lam0, cost0.dtype),
         jnp.asarray(2.0, cost0.dtype), cost0, jnp.asarray(False),
+        r0, Jc0, Jp0,
     )
-    (R, t, Xt, _, _, cost, _), hist = jax.lax.scan(
+    (R, t, Xt, _, _, cost, _, _, _, _), hist = jax.lax.scan(
         step, init, None, length=config.max_iters
     )
     cams_out = jnp.concatenate([rotmat_to_aa(R), t], -1)

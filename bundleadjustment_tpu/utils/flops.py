@@ -43,19 +43,22 @@ def dense_ba_iter_flops(K: int, L: int, O: int, solver: str = "dense",
 
     Returns a breakdown dict with 'total'.  Terms follow dense_ba.py:
 
-    - residuals+jacobians: projection, duv_dx, J_phi/Jp contractions —
-      elementwise over [O, L] (~420 FLOPs/obs counted from the unrolled
-      component loops);
+    - fused eval (one per iteration): projection, duv_dx, J_phi/Jp
+      contractions, robust-cost rho — elementwise over [O, L] (~440
+      FLOPs/obs counted from the unrolled component loops).  The trial
+      point's cost/residuals/Jacobians come from the SAME pass and are
+      carried into the next iteration on acceptance, so there is no
+      separate cost evaluation anymore;
     - block build: U/g_c one-hot reduce (21 symmetric-unique U rows + 6
       gradient rows = 27), V (6 unique), g_p (6), W (36);
     - schur (exact): G build, Pf one-hot batched matmul, S = QQ^T
       (the dominant term: 2*(6K)^2*(3L)), Cholesky (6K)^3/3, solve;
     - schur (pcg): per-CG-iteration matvec = gather + W-chain + reduce;
-    - back-substitution + 2 cost evaluations.
+    - back-substitution.
     """
     OL = O * L
     br = {}
-    br["resid_jac"] = 420 * OL
+    br["resid_jac"] = 440 * OL
     # U (21 unique symmetric rows) + g_c (6 rows) via one-hot [K, O*L] matmul
     br["reduce_U"] = 2 * 27 * K * OL
     br["V_gp_W"] = (2 * 6 + 2 * 3 + 36) * OL
@@ -77,8 +80,6 @@ def dense_ba_iter_flops(K: int, L: int, O: int, solver: str = "dense",
         br["pcg"] = pcg_iters * per_cg + 2 * 36 * K * K  # + Minv prep
     # back-substitution: gather + W reduce + V_inv apply
     br["backsub"] = 2 * 6 * K * OL + (36 + 18) * 2 * OL
-    # two cost evaluations (accept test + next-iteration baseline share)
-    br["cost"] = 2 * (2 * 12 * K * OL + 90 * OL)
     br["total"] = sum(br.values())
     return br
 
