@@ -411,15 +411,17 @@ def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
                 G.reshape(18, O, L).astype(pf_dtype),
                 dimension_numbers=(((1,), (1,)), ((2,), (2,))),
                 preferred_element_type=pf_dtype,
-            )  # [L, K, 18]
-            Q = jnp.transpose(Pf, (1, 2, 0)).reshape(K * 6, 3, L)
-            Q = jnp.transpose(Q, (0, 2, 1)).reshape(K * 6, L * 3)
-            S = -psum(
-                jnp.einsum("an,bn->ab", Q, Q,
-                           preferred_element_type=jnp.float32)
-            )
+            ).reshape(L, K, 6, 3)
+            # S = Q Q^T contracted directly over (landmark, point-dof) — no
+            # explicit [6K, 3L] transpose/materialization; XLA folds the
+            # layout change into the matmul operand load
+            S = -psum(jax.lax.dot_general(
+                Pf, Pf,
+                dimension_numbers=(((0, 3), (0, 3)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))  # [K, 6, K, 6]
             idx = jnp.arange(K)
-            S = S.reshape(K, 6, K, 6).at[idx, :, idx, :].add(U)
+            S = S.at[idx, :, idx, :].add(U)
             S = S.reshape(K * 6, K * 6) + 1e-8 * jnp.eye(K * 6, dtype=S.dtype)
             dc = jax.scipy.linalg.cho_solve(
                 jax.scipy.linalg.cho_factor(S), b.reshape(-1)

@@ -90,7 +90,7 @@ def gt_cloud(frames, K4, stride=4, px_stride=8):
     return np.concatenate(pts)
 
 
-def config1():
+def config1(track_batch=1):
     from bundleadjustment_tpu.data.synthetic import render_layered_scene
     from bundleadjustment_tpu.pipeline import PipelineConfig
 
@@ -100,11 +100,13 @@ def config1():
     )
     cfg = PipelineConfig(
         init_type="gtdepth", estimation="ba", local_ba=False,
-        n_features=1000, n_levels=8,
+        n_features=1000, n_levels=8, track_batch=track_batch,
     )
     pipe, res, fps, wall = run_protocol(frames, K4, cfg, 640, 480)
     return {
-        "metric": "config1_fr1_shaped",
+        "metric": "config1_fr1_shaped" + (
+            f"_tb{track_batch}" if track_batch > 1 else ""
+        ),
         "ate_rmse_m": round(res["rmse"], 4),
         "steady_fps": round(fps, 2),
         "wall_s": round(wall, 1),
