@@ -221,13 +221,21 @@ def render_layered_scene(
             }
         )
 
-    add_surface("z", 8.0, (-9.0, 9.0), (-5.0, 5.0))      # back wall
-    add_surface("y", 2.0, (-9.0, 9.0), (0.5, 9.5))       # floor (y down)
-    for _ in range(n_layers):
+    # size the world to the camera path: a trajectory of n_frames*motion_step
+    # meters (plus pan) must never look past the edge of the scene — real
+    # indoor sequences always have surrounding structure, and an image half
+    # full of void (no texture, -inf depth) is a broken world model, not a
+    # hard benchmark.  Panels are distributed along the whole path so every
+    # part of the sequence sees non-planar structure.
+    span = max(6.0, motion_step * n_frames + 8.0)
+    add_surface("z", 8.0, (-span, span), (-5.0, 5.0))    # back wall
+    add_surface("y", 2.0, (-span, span), (0.5, 9.5))     # floor (y down)
+    for k in range(n_layers):
         z = rng.uniform(2.8, 6.5)
         w = rng.uniform(0.8, 2.6)
         h = rng.uniform(0.6, 2.0)
-        x0 = rng.uniform(-3.0, 3.0 - w) + motion_step * 0.5 * n_frames * 0.5
+        along = (k / max(n_layers - 1, 1)) * motion_step * n_frames
+        x0 = rng.uniform(-3.0, 3.0 - w) + along + z / 2.0
         y0 = rng.uniform(-2.2, 2.2 - h)
         add_surface("z", z, (x0, x0 + w), (y0, y0 + h), texels_per_m=64.0)
 

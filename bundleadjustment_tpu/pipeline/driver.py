@@ -1658,13 +1658,34 @@ class BundleAdjustmentPipeline:
             rho = np.where(xc[:, 2] > 1e-6, rho, 1e4)
             return float(np.sum(np.where(V[b], rho, 0.0)))
 
+        # displacement guard: a legitimate post-BA correction moves a frame
+        # by at most a few frame-steps of motion; larger jumps mean the
+        # stored constraint set is stale (landmarks moved in BA / starved
+        # association stretches) and the re-solve slid to a consistent-but-
+        # wrong optimum.  Scale the guard to the trajectory's own motion
+        # (reference analogue: the PnP translation sanity guard,
+        # ba_project/src/ba/SfMHelper.cpp:76-80).
+        centers = np.asarray([
+            np_se3.rt6_to_mat44(np_se3.rt6_inverse(r.extr))[:3, 3]
+            for r in self.trajectory
+        ])
+        steps = np.linalg.norm(np.diff(centers, axis=0), axis=1)
+        guard = 3.0 * float(np.median(steps)) if len(steps) else np.inf
         for b, rec in enumerate(recs):
-            # accept the re-solve only if it has enough inliers AND actually
-            # lowers the robust cost on the same constraints — the original
-            # tracked pose is already a local optimum of a similar problem
-            if inl[b].sum() >= self.cfg.min_track_points:
-                if huber_cost(rt[b], b) < huber_cost(rec.extr, b):
-                    rec.extr = rt[b]
+            # accept the re-solve only if (a) a majority of its constraints
+            # are chi2 inliers at the refined pose — an absolute floor alone
+            # lets a wrong pose win by fitting 10 of N stale points, (b) it
+            # lowers the robust cost on the same constraints, and (c) the
+            # camera center moves less than the displacement guard
+            n_constr = int(V[b].sum())
+            if inl[b].sum() < max(self.cfg.min_track_points, 0.5 * n_constr):
+                continue
+            c_old = np_se3.rt6_to_mat44(np_se3.rt6_inverse(rec.extr))[:3, 3]
+            c_new = np_se3.rt6_to_mat44(np_se3.rt6_inverse(rt[b]))[:3, 3]
+            if np.linalg.norm(c_new - c_old) > guard:
+                continue
+            if huber_cost(rt[b], b) < huber_cost(rec.extr, b):
+                rec.extr = rt[b]
 
     # ------------------------------------------------------------------
     # outputs
