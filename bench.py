@@ -120,7 +120,7 @@ def main():
     except Exception:
         pass
 
-    from bundleadjustment_tpu.utils.flops import roofline
+    from bundleadjustment_tpu.utils.flops import FLOP_MODEL_VERSION, roofline
 
     sc, dense, n_obs = build_problem()
 
@@ -167,6 +167,7 @@ def main():
                 # roofline: counted FLOPs/bytes per LM iteration
                 # (utils/flops.py), achieved throughput, and MFU vs the
                 # chip's bf16 MXU peak (conservative for fp32 math)
+                "flop_model_version": FLOP_MODEL_VERSION,
                 "flops_per_iter": roof["flops_per_iter"],
                 "achieved_tflops": round(roof["achieved_tflops"], 3),
                 "mfu": round(roof["mfu"], 4) if roof["mfu"] else None,

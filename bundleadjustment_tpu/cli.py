@@ -62,10 +62,11 @@ def build_parser():
                    help="device-resident tracking microbatch size: this many "
                         "consecutive tracked frames run as one dispatch "
                         "(<=1 disables)")
-    p.add_argument("--ba-layout", choices=["flat", "dense_landmark"],
-                   default="flat",
-                   help="BA data layout: flat observation table, or the "
-                        "TPU-optimized dense landmark-major layout")
+    p.add_argument("--ba-layout", choices=["auto", "flat", "dense_landmark"],
+                   default="auto",
+                   help="BA data layout: auto (dense landmark-major above a "
+                        "problem-size threshold), flat observation table, or "
+                        "the TPU-optimized dense landmark-major layout")
     p.add_argument("--predetect", action="store_true", default=False,
                    help="run the data-parallel batched frontend over all "
                         "frames up front (frame axis sharded over all local "

@@ -227,6 +227,11 @@ def render_layered_scene(
     # full of void (no texture, -inf depth) is a broken world model, not a
     # hard benchmark.  Panels are distributed along the whole path so every
     # part of the sequence sees non-planar structure.
+    # NOTE (dataset-generation change, round 2): geometry depends on
+    # n_frames*motion_step since this sizing landed, so the same seed yields
+    # a different world than round-1 renders; metrics recorded before the
+    # change are not directly comparable (BASELINE.md tables are labeled by
+    # round for this reason).
     span = max(6.0, motion_step * n_frames + 8.0)
     add_surface("z", 8.0, (-span, span), (-5.0, 5.0))    # back wall
     add_surface("y", 2.0, (-span, span), (0.5, 9.5))     # floor (y down)
@@ -235,6 +240,10 @@ def render_layered_scene(
         w = rng.uniform(0.8, 2.6)
         h = rng.uniform(0.6, 2.0)
         along = (k / max(n_layers - 1, 1)) * motion_step * n_frames
+        # the z/2.0 term compensates the protocols' slow rightward pan
+        # (~0.5 rad over the path): a panel at depth z drifts out of a
+        # panning view unless shifted ~z*tan(pan)≈z/2 along +x, keeping
+        # deep panels visible mid-sequence instead of only at the start
         x0 = rng.uniform(-3.0, 3.0 - w) + along + z / 2.0
         y0 = rng.uniform(-2.2, 2.2 - h)
         add_surface("z", z, (x0, x0 + w), (y0, y0 + h), texels_per_m=64.0)

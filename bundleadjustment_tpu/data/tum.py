@@ -87,12 +87,26 @@ def read_file_list(path):
 
 
 def associate(a, b, max_difference=0.02, offset=0.0):
-    """Greedy mutual nearest-timestamp association (associate.py:71-101)."""
+    """Greedy mutual nearest-timestamp association (associate.py:71-101).
+
+    Candidate generation is O(N log M) via a searchsorted window over the
+    (sorted) b timestamps instead of the reference's all-pairs double loop,
+    which at ``--frames 2000`` scale would enumerate millions of pairs.
+    Output is identical: same candidate set, same greedy order.
+    """
+    ta_arr = np.asarray([t for t, _ in a], dtype=np.float64)
+    tb_arr = np.asarray([t for t, _ in b], dtype=np.float64) + offset
+    order_b = np.argsort(tb_arr, kind="stable")
+    tb_sorted = tb_arr[order_b]
+    lo = np.searchsorted(tb_sorted, ta_arr - max_difference, side="left")
+    hi = np.searchsorted(tb_sorted, ta_arr + max_difference, side="right")
     pairs = []
-    for i, (ta, _) in enumerate(a):
-        for j, (tb, _) in enumerate(b):
-            if abs(ta - (tb + offset)) < max_difference:
-                pairs.append((abs(ta - (tb + offset)), i, j))
+    for i in range(len(a)):
+        for k in range(int(lo[i]), int(hi[i])):
+            j = int(order_b[k])
+            d = abs(ta_arr[i] - tb_arr[j])
+            if d < max_difference:
+                pairs.append((d, i, j))
     pairs.sort()
     used_a, used_b, out = set(), set(), []
     for _, i, j in pairs:

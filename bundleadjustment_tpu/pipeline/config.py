@@ -85,8 +85,13 @@ class PipelineConfig:
     motion_outer: int = 4
     motion_inner: int = 10
     ba_solver: str = "dense"  # "dense" | "pcg"; pcg for big maps
-    ba_layout: str = "flat"  # "flat" | "dense_landmark"; dense_landmark is the
-    #                           TPU-optimized layout (solvers/dense_ba.py)
+    ba_layout: str = "auto"  # "auto" | "flat" | "dense_landmark"
+    #   dense_landmark is the TPU-optimized exact-Schur layout
+    #   (solvers/dense_ba.py; measured ~25x the flat segment-sum engine on
+    #   v5e at 64 cams/10k landmarks — BASELINE.md).  "auto" picks
+    #   dense_landmark once the problem is big enough to amortize the host-
+    #   side regrouping and [L, max_obs] padding, flat below that.
+    ba_layout_auto_min_obs: int = 2048
     ba_max_obs_per_pt: int = 16
     pcg_iters: int = 60
 

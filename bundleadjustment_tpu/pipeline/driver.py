@@ -19,6 +19,7 @@ Division of labor:
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass, field
 from functools import partial
@@ -629,7 +630,15 @@ class BundleAdjustmentPipeline:
             return self._solve_ba_inner(snap, max_iters, solver)
 
     def _solve_ba_inner(self, snap, max_iters, solver=None):
-        if self.cfg.ba_layout == "dense_landmark":
+        layout = self.cfg.ba_layout
+        if layout == "auto":
+            # dense_landmark wins decisively on TPU once the problem is big
+            # enough to amortize regrouping (A/B in BASELINE.md); tiny
+            # problems stay on the flat engine to avoid [L, max_obs] padding
+            n_obs = int(np.asarray(snap.valid).sum())
+            layout = ("dense_landmark"
+                      if n_obs >= self.cfg.ba_layout_auto_min_obs else "flat")
+        if layout == "dense_landmark":
             return self._solve_ba_dense(snap, max_iters)
         prob = BAProblem(
             K4=jnp.asarray(snap.K4),
@@ -657,14 +666,21 @@ class BundleAdjustmentPipeline:
         """TPU-optimized dense-landmark-layout solve (solvers/dense_ba.py)."""
         from bundleadjustment_tpu.solvers.dense_ba import (
             dense_ba_solve,
-            densify_problem,
+            densify_problem_auto,
         )
 
-        dense, _dropped = densify_problem(
+        # auto-raise max_obs until no observation is dropped: a landmark seen
+        # by more than max_obs keyframes must not silently lose constraints
+        dense, dropped, max_obs = densify_problem_auto(
             snap.K4, snap.cam_idx, snap.pt_idx, snap.uv, snap.sigma2,
             snap.valid, snap.cam_fixed, snap.points.shape[0],
             max_obs=self.cfg.ba_max_obs_per_pt,
         )
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "dense BA: %d observations dropped at max_obs=%d "
+                "(landmark observed by >%d keyframes)", dropped, max_obs,
+                max_obs)
         cfg = LMConfig(max_iters=max_iters, solver=self.cfg.ba_solver,
                        pcg_iters=self.cfg.pcg_iters)
         cams, pts, info = dense_ba_solve(
@@ -1670,7 +1686,16 @@ class BundleAdjustmentPipeline:
             for r in self.trajectory
         ])
         steps = np.linalg.norm(np.diff(centers, axis=0), axis=1)
-        guard = 3.0 * float(np.median(steps)) if len(steps) else np.inf
+        # floor the guard with an absolute term scaled to the scene: for
+        # stationary / rotation-dominant trajectories median(steps) ~ 0 and a
+        # pure multiple would reject every legitimate sub-millimeter
+        # correction.  Scale = 1% of the median camera-to-landmark range.
+        if V.any():
+            rng = np.linalg.norm(P[V] - centers.mean(axis=0), axis=1)
+            eps = 0.01 * float(np.median(rng))
+        else:
+            eps = 1e-3
+        guard = max(3.0 * float(np.median(steps)), eps) if len(steps) else np.inf
         for b, rec in enumerate(recs):
             # accept the re-solve only if (a) a majority of its constraints
             # are chi2 inliers at the refined pose — an absolute floor alone

@@ -113,6 +113,22 @@ def densify_problem(K4, cam_idx, pt_idx, uv, sigma2, valid, cam_fixed,
     )
 
 
+def densify_problem_auto(K4, cam_idx, pt_idx, uv, sigma2, valid, cam_fixed,
+                         n_points, max_obs=16, max_obs_cap=512):
+    """densify_problem with max_obs auto-raised (doubling, up to
+    max_obs_cap) until no observation is dropped: a landmark observed by
+    more than max_obs keyframes must not silently lose constraints.
+    Returns (DenseBAProblem, n_dropped, max_obs_used)."""
+    while True:
+        dense, dropped = densify_problem(
+            K4, cam_idx, pt_idx, uv, sigma2, valid, cam_fixed, n_points,
+            max_obs=max_obs,
+        )
+        if dropped == 0 or max_obs >= max_obs_cap:
+            return dense, dropped, max_obs
+        max_obs *= 2
+
+
 # ---------------------------------------------------------------------------
 # component-major internals
 # ---------------------------------------------------------------------------
@@ -496,6 +512,15 @@ def dense_ba_solve(prob: DenseBAProblem, cam_rt6, points, config=LMConfig()):
     """LM/Schur solve in the dense landmark-major layout.
 
     cam_rt6: [K, 6]; points: [L, 3].  Returns (cam_rt6', points', info).
+
+    Memory note: the scan carry holds the accepted residuals/Jacobians
+    (r [2,O,L], Jc [2,6,O,L], Jp [2,3,O,L] = 20*O*L floats) so an accepted
+    trial's eval is reused instead of recomputed; with the trial set live
+    during the where-selects, peak HBM for Jacobian blocks is ~2x the old
+    recompute-per-iteration form (~40*O*L*4 B transient).  At the largest
+    single-chip config exercised (O=16, L=131072: ~335 MB transient) this is
+    well inside v5e HBM; if a future config approaches the limit, fall back
+    to recomputing the accepted eval per iteration.
     """
     cm = _to_cm(prob)
     R0 = aa_to_rotmat(cam_rt6[:, :3])

@@ -37,6 +37,13 @@ def device_peak_flops(device) -> float | None:
     return None
 
 
+# FLOP-model version, reported alongside MFU numbers in bench JSON.  v2
+# (round 2): resid_jac 420->440 and the separate 2x cost-eval term removed
+# when the engine switched to single-eval LM (trial residuals reused) —
+# MFU/roofline figures are NOT comparable with v1 (BENCH_r01) numbers.
+FLOP_MODEL_VERSION = 2
+
+
 def dense_ba_iter_flops(K: int, L: int, O: int, solver: str = "dense",
                         pcg_iters: int = 0) -> dict:
     """FLOPs for ONE LM iteration of `dense_ba_solve` (component-major).

@@ -10,6 +10,7 @@ instead of a window; a final snapshot is dumped on close (`:45-49`)."""
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 import time
@@ -36,8 +37,11 @@ class LiveVisualizer:
         while not self._stop.wait(self.interval_s):
             try:
                 self.snapshot()
-            except Exception:
-                pass  # map mutating mid-snapshot: retry next tick
+            except (ValueError, IndexError, KeyError) as e:
+                # map mutating mid-snapshot (shape/index drift): retry next
+                # tick, but leave a trace so a persistent failure is visible
+                logging.getLogger(__name__).warning(
+                    "live snapshot skipped: %s: %s", type(e).__name__, e)
 
     def _gt_scale_ratio(self):
         """Scale GT trajectory to the estimated one using the first two

