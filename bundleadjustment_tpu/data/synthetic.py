@@ -179,6 +179,7 @@ def render_layered_scene(
     exposure_jitter=0.05,
     vignette=0.25,
     view_dependent=0.25,
+    background_texture=1.0,
     seed=0,
 ):
     """Render a hard multi-structure RGB-D sequence with exact ground truth.
@@ -208,14 +209,19 @@ def render_layered_scene(
     # kind "z": plane z=c spanning (x,y) bounds; kind "y": plane y=c (floor)
     surfaces = []
 
-    def add_surface(kind, coord, b0, b1, texels_per_m=48.0):
+    def add_surface(kind, coord, b0, b1, texels_per_m=48.0, contrast=1.0):
+        tex = _make_texture(rng)
+        if contrast != 1.0:
+            # texture-poor regime (fr1/teddy-style plain walls): squash the
+            # texture toward its mean so the detector finds few corners there
+            tex = 0.5 + contrast * (tex - 0.5)
         surfaces.append(
             {
                 "kind": kind,
                 "coord": float(coord),
                 "b0": np.asarray(b0, np.float64),  # (min0, max0) first axis
                 "b1": np.asarray(b1, np.float64),
-                "tex": _make_texture(rng),
+                "tex": tex,
                 "tpm": texels_per_m,
                 "base": 0.55 + 0.45 * rng.random(),
             }
@@ -233,18 +239,26 @@ def render_layered_scene(
     # change are not directly comparable (BASELINE.md tables are labeled by
     # round for this reason).
     span = max(6.0, motion_step * n_frames + 8.0)
-    add_surface("z", 8.0, (-span, span), (-5.0, 5.0))    # back wall
-    add_surface("y", 2.0, (-span, span), (0.5, 9.5))     # floor (y down)
+    add_surface("z", 8.0, (-span, span), (-5.0, 5.0),
+                contrast=background_texture)             # back wall
+    add_surface("y", 2.0, (-span, span), (0.5, 9.5),
+                contrast=background_texture)             # floor (y down)
     for k in range(n_layers):
         z = rng.uniform(2.8, 6.5)
         w = rng.uniform(0.8, 2.6)
         h = rng.uniform(0.6, 2.0)
-        along = (k / max(n_layers - 1, 1)) * motion_step * n_frames
-        # the z/2.0 term compensates the protocols' slow rightward pan
-        # (~0.5 rad over the path): a panel at depth z drifts out of a
-        # panning view unless shifted ~z*tan(pan)≈z/2 along +x, keeping
-        # deep panels visible mid-sequence instead of only at the start
-        x0 = rng.uniform(-3.0, 3.0 - w) + along + z / 2.0
+        if trajectory == "orbit":
+            # object-centric orbit (fr1/teddy-style): cluster the panels
+            # around the orbit target [0, 0, 5] so the "object" stays in
+            # view for the whole revolution
+            x0 = rng.uniform(-2.0, 2.0 - w)
+        else:
+            along = (k / max(n_layers - 1, 1)) * motion_step * n_frames
+            # the z/2.0 term compensates the protocols' slow rightward pan
+            # (~0.5 rad over the path): a panel at depth z drifts out of a
+            # panning view unless shifted ~z*tan(pan)≈z/2 along +x, keeping
+            # deep panels visible mid-sequence instead of only at the start
+            x0 = rng.uniform(-3.0, 3.0 - w) + along + z / 2.0
         y0 = rng.uniform(-2.2, 2.2 - h)
         add_surface("z", z, (x0, x0 + w), (y0, y0 + h), texels_per_m=64.0)
 

@@ -136,11 +136,39 @@ def _solve_jit(prob: ShardedDenseBAProblem, cams_rt6, points_sharded, config,
     return cams, X, {"cost0": cost0, "cost": cost}
 
 
+def _is_multiprocess(mesh):
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 def sharded_dense_ba_solve(prob, cams_rt6, points_sharded, config=None,
                            mesh=None):
-    """Landmark-sharded dense-layout LM solve over a device mesh."""
+    """Landmark-sharded dense-layout LM solve over a device mesh.
+
+    Works on a multi-process mesh (every process calls with the SAME
+    host-global values, jax.distributed initialized — see
+    parallel/multihost.py): inputs are device_put with explicit
+    NamedShardings so each process places only its addressable shards.
+    """
     if config is None:
         config = LMConfig(max_iters=10, solver="pcg")
     if mesh is None:
         mesh = Mesh(np.array(jax.devices()), (AXIS,))
-    return _solve_jit(prob, jnp.asarray(cams_rt6), points_sharded, config, mesh)
+    cams_rt6 = jnp.asarray(cams_rt6)
+    if _is_multiprocess(mesh):
+        from jax.sharding import NamedSharding
+
+        shard = NamedSharding(mesh, P(AXIS))
+        rep = NamedSharding(mesh, P())
+        put = lambda a, s: jax.device_put(np.asarray(a), s)
+        prob = ShardedDenseBAProblem(
+            K4=put(prob.K4, rep),
+            cam_idx=put(prob.cam_idx, shard),
+            uv=put(prob.uv, shard),
+            sigma2=put(prob.sigma2, shard),
+            valid=put(prob.valid, shard),
+            cam_fixed=put(prob.cam_fixed, rep),
+            pt_valid=put(prob.pt_valid, shard),
+        )
+        cams_rt6 = put(cams_rt6, rep)
+        points_sharded = put(points_sharded, shard)
+    return _solve_jit(prob, cams_rt6, points_sharded, config, mesh)

@@ -109,6 +109,17 @@ def _sharded_solve_halo(probs, cams, points, gids, config, n_global, mesh):
         # rejects that even though the math is device-local — skip it
         check_vma=False,
     )
+    if len({d.process_index for d in mesh.devices.flat}) > 1:
+        # multi-process mesh: place each input explicitly (every process
+        # holds the same host-global value; device_put keeps only the
+        # addressable shards)
+        from jax.sharding import NamedSharding
+
+        ns = NamedSharding(mesh, spec)
+        put = lambda a: jax.device_put(np.asarray(a), ns)
+        probs, cams, points, gids = jax.tree.map(
+            put, (probs, cams, points, gids)
+        )
     return jax.jit(fn)(probs, cams, points, gids)
 
 
@@ -212,11 +223,19 @@ def windowed_global_ba(scene_map, window=10, stride=5,
             probs, jnp.asarray(extr), jnp.asarray(points),
             jnp.asarray(gids), config, n_global, mesh,
         )
-    cams_opt = np.asarray(cams_opt)[:W]
-    pts_opt = np.asarray(pts_opt)[:W]
-    halo_sum = np.asarray(halo_sum)
-    halo_cnt = np.asarray(halo_cnt)
-    info = {k: np.asarray(v)[:W] for k, v in info.items()}
+    def _fetch(x):
+        """Host-global numpy view of a possibly cross-process-sharded array."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    cams_opt = _fetch(cams_opt)[:W]
+    pts_opt = _fetch(pts_opt)[:W]
+    halo_sum = _fetch(halo_sum)
+    halo_cnt = _fetch(halo_cnt)
+    info = {k: _fetch(v)[:W] for k, v in info.items()}
 
     # halo-averaged landmark positions -> map (each shared landmark gets the
     # mean of its windows' solutions; the cameras-fixed refinement below

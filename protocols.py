@@ -173,12 +173,52 @@ def config3():
     }
 
 
-def main():
+def config4_teddy():
+    """fr1/teddy-shaped: rotation-dominant object orbit, texture-poor
+    background, occluding panels (reference VirtualSensor.h:15-20 ships
+    fr1/teddy; this protocol covers the object-orbit regime the forward/
+    handheld protocols don't)."""
+    from bundleadjustment_tpu.data.synthetic import render_layered_scene
+    from bundleadjustment_tpu.pipeline import PipelineConfig
+
+    frames, K4 = render_layered_scene(
+        n_frames=60, width=640, height=480, fx=525.0, fy=525.0,
+        trajectory="orbit", motion_step=0.08, n_layers=8,
+        background_texture=0.15, seed=14,
+    )
+    cfg = PipelineConfig(
+        init_type="gtdepth", estimation="ba", local_ba=True,
+        cull_frames=True, n_features=1000, n_levels=8,
+    )
+    pipe, res, fps, wall = run_protocol(frames, K4, cfg, 640, 480)
+    return {
+        "metric": "config4_teddy_orbit",
+        "ate_rmse_m": round(res["rmse"], 4),
+        "steady_fps": round(fps, 2),
+        "wall_s": round(wall, 1),
+        "frames": 60,
+        "keyframes": pipe.stats["keyframes"],
+        "landmarks": int(len(pipe.map.active_points())),
+    }
+
+
+PROTOCOLS = {
+    "1": config1,
+    "2": config2,
+    "3": config3,
+    "4": config4_teddy,
+}
+
+
+def main(argv=None):
+    import sys
+
     import jax
 
+    names = (argv if argv is not None else sys.argv[1:]) or list(PROTOCOLS)
     dev = str(jax.devices()[0])
-    for fn in (config1, config2, config3):
-        out = fn()
+    for name in names:
+        out = PROTOCOLS[name]()
         out["device"] = dev
         print(json.dumps(out), flush=True)
 
