@@ -95,13 +95,14 @@ def _shard_body(K4, cam_idx, uv, sigma2, valid, cam_fixed, pt_valid,
         cam_fixed=cam_fixed, pt_valid=pt_valid,
     )
     cm = _to_cm(local)
-    step, eval_at = _make_step(cm, config, psum=lambda x: jax.lax.psum(x, AXIS))
+    step, eval_assemble = _make_step(
+        cm, config, psum=lambda x: jax.lax.psum(x, AXIS))
 
     Xt0 = points0.T
-    cost0, r0, Jc0, Jp0 = eval_at(R0, t0, Xt0)
+    cost0, red0, Vu0, gp0, W0 = eval_assemble(R0, t0, Xt0)
     init = (R0, t0, Xt0, jnp.asarray(config.lam0), jnp.asarray(2.0),
-            cost0, jnp.asarray(False), r0, Jc0, Jp0)
-    (R, t, Xt, _, _, cost, _, _, _, _), _ = jax.lax.scan(
+            cost0, jnp.asarray(False), red0, Vu0, gp0, W0)
+    (R, t, Xt, _, _, cost, _, _, _, _, _), _ = jax.lax.scan(
         step, init, None, length=config.max_iters
     )
     return R, t, Xt.T, cost0, cost

@@ -338,9 +338,13 @@ for _n, (_i, _j) in enumerate(_TRIU3):
     _SYM3_IDX[_i, _j] = _SYM3_IDX[_j, _i] = _n
 
 
-def _build_blocks_cm(cm: _CM, r, Jc, Jp, lam, psum, bf16=False):
-    """Assemble damped U [K,6,6], g_c [K,6], V [3,3,L], g_p [3,L],
-    W [6,3,O,L] from component-major residuals/Jacobians."""
+def _assemble_cm(cm: _CM, r, Jc, Jp, psum, bf16=False):
+    """Undamped block reductions from component-major residuals/Jacobians:
+    red [K,27] (21 upper-triangle U rows + 6 g_c rows), Vu [6,L], g_p [3,L],
+    W [6,3,O,L].  None of these depend on the LM damping, so the scan carries
+    THEM (not r/Jc/Jp): damping is re-applied per iteration by
+    `_damp_blocks_cm` on the small reduced arrays, and a rejected iteration
+    never re-touches the [O, L] planes."""
     K = cm.cam_fixed.shape[0]
     # camera-side: U is symmetric -> stack only its 21 upper-triangle
     # products + 6 gradient rows into one [27, O*L] @ [O*L, K] matmul
@@ -349,15 +353,12 @@ def _build_blocks_cm(cm: _CM, r, Jc, Jp, lam, psum, bf16=False):
     rows += [sum(Jc[a, i] * r[a] for a in range(2)) for i in range(6)]
     stacked = jnp.stack(rows)  # [27, O, L]
     red = psum(_reduce_cams(stacked, cm, K, bf16=bf16))  # [K, 27]
-    U = red[:, _SYM6_IDX]  # [K, 6, 6] via one gather
-    g_c = red[:, 21:]
 
     # V symmetric likewise: 6 unique [L] reductions, one stack + gather
     Vu = jnp.stack([
         jnp.sum(Jp[0, i] * Jp[0, j] + Jp[1, i] * Jp[1, j], axis=0)
         for i, j in _TRIU3
     ])  # [6, L]
-    V = Vu[_SYM3_IDX]  # [3, 3, L]
     g_p = jnp.stack([jnp.sum(Jp[0, i] * r[0] + Jp[1, i] * r[1], axis=0)
                      for i in range(3)])  # [3, L]
     W = jnp.stack([
@@ -365,6 +366,14 @@ def _build_blocks_cm(cm: _CM, r, Jc, Jp, lam, psum, bf16=False):
                    for j in range(3)])
         for i in range(6)
     ])  # [6, 3, O, L]
+    return red, Vu, g_p, W
+
+
+def _damp_blocks_cm(cm: _CM, red, Vu, lam):
+    """LM-damped U [K,6,6], g_c [K,6], V [3,3,L] from the reduced rows."""
+    U = red[:, _SYM6_IDX]  # [K, 6, 6] via one gather
+    g_c = red[:, 21:]
+    V = Vu[_SYM3_IDX]  # [3, 3, L]
 
     eye6 = jnp.eye(6, dtype=U.dtype)
     dU = jnp.clip(jnp.diagonal(U, axis1=-2, axis2=-1), 1e-6, None)
@@ -375,7 +384,7 @@ def _build_blocks_cm(cm: _CM, r, Jc, Jp, lam, psum, bf16=False):
     dV = jnp.stack([jnp.clip(V[i, i], 1e-6, None) for i in range(3)])
     V = V + lam * dV[:, None, :] * jnp.eye(3)[:, :, None]
     V = jnp.where(cm.pt_valid[None, None, :], V, jnp.eye(3)[:, :, None])
-    return U, g_c, V, g_p, W
+    return U, g_c, V
 
 
 def _w_reduce(W, x_obs):
@@ -394,16 +403,18 @@ def _w_apply(W, z_pt):
 
 
 def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
-    """Build the (step, eval_at) pair for `lax.scan`.  `psum` is the
+    """Build the (step, eval_assemble) pair for `lax.scan`.  `psum` is the
     cross-shard reduction hook: identity single-device, `lax.psum` inside
-    shard_map.  `eval_at(R, t, Xt) -> (cost, r, Jc, Jp)` seeds the scan
-    state; `step` carries the trial-point blocks forward on acceptance."""
+    shard_map.  `eval_assemble(R, t, Xt) -> (cost, red, Vu, g_p, W)` seeds
+    the scan state; `step` carries the trial point's REDUCED blocks forward
+    on acceptance (damping is independent of them, see _assemble_cm)."""
     K = cm.cam_fixed.shape[0]
     bf16 = config.mxu_bf16
 
-    def eval_at(R, t, Xt):
+    def eval_assemble(R, t, Xt):
         cost, r, Jc, Jp = _eval_cm(cm, R, t, Xt, config.robust)
-        return psum(cost), r, Jc, Jp
+        red, Vu, g_p, W = _assemble_cm(cm, r, Jc, Jp, psum, bf16=bf16)
+        return psum(cost), red, Vu, g_p, W
 
     def solve_cameras(U, g_c, V_inv, g_p, W):
         zv = _mat3vec_cm(V_inv, g_p)
@@ -473,9 +484,8 @@ def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
         return dc
 
     def step(state, _):
-        R, t, Xt, lam, nu, cost, done, r, Jc, Jp = state
-        U, g_c, V, g_p, W = _build_blocks_cm(cm, r, Jc, Jp, lam, psum,
-                                             bf16=bf16)
+        R, t, Xt, lam, nu, cost, done, red, Vu, g_p, W = state
+        U, g_c, V = _damp_blocks_cm(cm, red, Vu, lam)
         V_inv = _sym3_inv_cm(V)
         dc = solve_cameras(U, g_c, V_inv, g_p, W)
 
@@ -491,7 +501,8 @@ def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
         t_new = t + dt
         Xt_new = Xt + dp
 
-        new_cost, r_new, Jc_new, Jp_new = eval_at(R_new, t_new, Xt_new)
+        new_cost, red_new, Vu_new, gp_new, W_new = eval_assemble(
+            R_new, t_new, Xt_new)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
         sel = lambda a, b2: jnp.where(accept & ~done, a, b2)
         rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)
@@ -501,10 +512,11 @@ def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
             jnp.where(done, nu, jnp.where(accept, 2.0, nu * 2.0)),
             sel(new_cost, cost),
             done | (accept & (rel < config.rtol)),
-            sel(r_new, r), sel(Jc_new, Jc), sel(Jp_new, Jp),
+            sel(red_new, red), sel(Vu_new, Vu), sel(gp_new, g_p),
+            sel(W_new, W),
         ), new_cost
 
-    return step, eval_at
+    return step, eval_assemble
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -513,28 +525,27 @@ def dense_ba_solve(prob: DenseBAProblem, cam_rt6, points, config=LMConfig()):
 
     cam_rt6: [K, 6]; points: [L, 3].  Returns (cam_rt6', points', info).
 
-    Memory note: the scan carry holds the accepted residuals/Jacobians
-    (r [2,O,L], Jc [2,6,O,L], Jp [2,3,O,L] = 20*O*L floats) so an accepted
-    trial's eval is reused instead of recomputed; with the trial set live
-    during the where-selects, peak HBM for Jacobian blocks is ~2x the old
-    recompute-per-iteration form (~40*O*L*4 B transient).  At the largest
-    single-chip config exercised (O=16, L=131072: ~335 MB transient) this is
-    well inside v5e HBM; if a future config approaches the limit, fall back
-    to recomputing the accepted eval per iteration.
+    Memory note: the scan carry holds the accepted trial's REDUCED blocks
+    (W [6,3,O,L] = 18*O*L floats + small red/Vu/g_p) so an accepted trial's
+    eval+assembly is reused instead of recomputed; with the trial set live
+    during the where-selects, peak HBM for the block planes is ~36*O*L*4 B
+    transient.  At the largest single-chip config exercised (O=16,
+    L=131072: ~300 MB transient) this is well inside v5e HBM; if a future
+    config approaches the limit, fall back to recomputing per iteration.
     """
     cm = _to_cm(prob)
     R0 = aa_to_rotmat(cam_rt6[:, :3])
     t0 = cam_rt6[:, 3:]
     Xt0 = points.T
 
-    step, eval_at = _make_step(cm, config)
-    cost0, r0, Jc0, Jp0 = eval_at(R0, t0, Xt0)
+    step, eval_assemble = _make_step(cm, config)
+    cost0, red0, Vu0, gp0, W0 = eval_assemble(R0, t0, Xt0)
     init = (
         R0, t0, Xt0, jnp.asarray(config.lam0, cost0.dtype),
         jnp.asarray(2.0, cost0.dtype), cost0, jnp.asarray(False),
-        r0, Jc0, Jp0,
+        red0, Vu0, gp0, W0,
     )
-    (R, t, Xt, _, _, cost, _, _, _, _), hist = jax.lax.scan(
+    (R, t, Xt, _, _, cost, _, _, _, _, _), hist = jax.lax.scan(
         step, init, None, length=config.max_iters
     )
     cams_out = jnp.concatenate([rotmat_to_aa(R), t], -1)

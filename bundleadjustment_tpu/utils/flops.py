@@ -53,9 +53,9 @@ def dense_ba_iter_flops(K: int, L: int, O: int, solver: str = "dense",
     - fused eval (one per iteration): projection, duv_dx, J_phi/Jp
       contractions, robust-cost rho — elementwise over [O, L] (~440
       FLOPs/obs counted from the unrolled component loops).  The trial
-      point's cost/residuals/Jacobians come from the SAME pass and are
+      point's REDUCED blocks (red/Vu/g_p/W) come from the SAME pass and are
       carried into the next iteration on acceptance, so there is no
-      separate cost evaluation anymore;
+      separate cost evaluation or per-iteration re-assembly;
     - block build: U/g_c one-hot reduce (21 symmetric-unique U rows + 6
       gradient rows = 27), V (6 unique), g_p (6), W (36);
     - schur (exact): G build, Pf one-hot batched matmul, S = QQ^T
