@@ -411,7 +411,27 @@ def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
     K = cm.cam_fixed.shape[0]
     bf16 = config.mxu_bf16
 
+    O, L = cm.cam_t.shape
+    use_fused = config.fused_eval == "on"
+    if config.fused_eval == "auto":
+        from bundleadjustment_tpu.solvers.pallas_dense_eval import (
+            fused_eval_supported,
+        )
+
+        use_fused = (jax.default_backend() == "tpu"
+                     and fused_eval_supported(O, L, K))
+
     def eval_assemble(R, t, Xt):
+        if use_fused:
+            from bundleadjustment_tpu.solvers.pallas_dense_eval import (
+                fused_eval_assemble,
+            )
+
+            cost, red, Vu, g_p, W = fused_eval_assemble(
+                cm.K4, cm.cam_t, cm.uv_t, cm.inv_sigma_t, cm.valid_t,
+                cm.fixed_t, R, t, Xt, robust=config.robust,
+            )
+            return psum(cost), psum(red), Vu, g_p, W
         cost, r, Jc, Jp = _eval_cm(cm, R, t, Xt, config.robust)
         red, Vu, g_p, W = _assemble_cm(cm, r, Jc, Jp, psum, bf16=bf16)
         return psum(cost), red, Vu, g_p, W

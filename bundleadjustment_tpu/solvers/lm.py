@@ -39,6 +39,9 @@ class LMConfig(NamedTuple):
     pcg_tol: float = 1e-6
     robust: bool = True
     rtol: float = 1e-9  # relative cost-decrease tolerance for early freeze
+    fused_eval: str = "auto"  # dense layout only: Pallas-fused eval+assembly
+    #   (solvers/pallas_dense_eval.py).  "auto" = on when the backend is TPU
+    #   and the problem fits the kernel's VMEM gate; "on" / "off" force it.
     mxu_bf16: bool = False  # dense layout only: cast the one-hot camera-side
     #   contractions (incl. the dominant QQ^T) to explicit bf16.  Measured on
     #   v5e (r2, 64 cams/10k lm): 0.84x — SLOWER than fp32, with bit-identical

@@ -1,0 +1,243 @@
+"""Pallas-fused eval+assembly for the dense landmark-major BA engine.
+
+One kernel pass per LM iteration replaces the whole XLA chain
+`_eval_cm` -> `_assemble_cm` in `solvers/dense_ba.py` (the reference
+analogue is Ceres' autodiff residual evaluation + normal-equation
+assembly inside `ceres::Solve`, `ba_project/src/ba/Optimizer.cpp:242`):
+
+  projection -> residuals -> Huber weights -> analytic Jacobians ->
+  27 symmetric camera rows + cost row -> per-camera one-hot MXU reduce,
+  plus the point-side Vu/g_p/W blocks,
+
+all tiled through VMEM over the landmark axis.  The XLA path materializes
+~100 [O, L] intermediate planes in HBM per iteration (every jnp.stack is a
+round trip); here only the kernel inputs (5 planes), the W output (18
+planes), and Vu/g_p/red leave VMEM.  BASELINE.md's round-2 roofline showed
+exactly this elementwise/[O,L] stage — not the MXU Schur math — capping
+marginal MFU at ~6%.
+
+The camera gather (pose table -> per-observation rotation rows) and the
+camera reduction both ride the MXU against an in-VMEM one-hot built from
+cam_t, so the kernel needs no TPU gather/scatter support.
+
+Numerics match the XLA path to matmul reassociation (all f32, MXU with f32
+accumulation); parity is tested in tests/test_pallas_dense_eval.py both in
+interpret mode (CPU) and compiled (TPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bundleadjustment_tpu.solvers.lm import CHEIRALITY_PENALTY
+from bundleadjustment_tpu.solvers.residuals import HUBER_DELTA
+
+_TRIU6 = [(i, j) for i in range(6) for j in range(i, 6)]  # 21 unique entries
+_TRIU3 = [(i, j) for i in range(3) for j in range(i, 3)]  # 6 unique entries
+
+# rows emitted per tile into the camera-side reduce: 21 U + 6 g_c + 1 cost
+N_ROWS = 28
+
+
+def _kernel(k4_ref, rt_ref, cam_ref, uv_ref, isig_ref, mval_ref, mfree_ref,
+            xt_ref, red_ref, vu_ref, gp_ref, w_ref, *, O, LT, K, robust):
+    f32 = jnp.float32
+    fx, fy, cx, cy = (k4_ref[0, 0], k4_ref[0, 1], k4_ref[0, 2], k4_ref[0, 3])
+
+    cam = cam_ref[...]  # [O, LT] int32
+    # one-hot camera membership [K, N], N = O*LT (flatten is a relayout, the
+    # lane dim changes, but it's one ~N*4B VMEM copy per tile)
+    cam_flat = cam.reshape(1, O * LT)
+    oh_t = (jax.lax.broadcasted_iota(jnp.int32, (K, O * LT), 0)
+            == cam_flat).astype(f32)  # [K, N]
+
+    # gather pose rows per observation: [12, K] @ [K, N] -> [12, N]
+    g = jax.lax.dot_general(
+        rt_ref[...], oh_t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).reshape(12, O, LT)
+
+    X0 = xt_ref[0, :][None, :]  # [1, LT] -> broadcasts over O
+    X1 = xt_ref[1, :][None, :]
+    X2 = xt_ref[2, :][None, :]
+    RX = [g[3 * i + 0] * X0 + g[3 * i + 1] * X1 + g[3 * i + 2] * X2
+          for i in range(3)]
+    x0 = RX[0] + g[9]
+    x1 = RX[1] + g[10]
+    z = RX[2] + g[11]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    inv_z = 1.0 / zs
+
+    isig = isig_ref[...]
+    u = fx * x0 * inv_z + cx
+    v = fy * x1 * inv_z + cy
+    r0 = (u - uv_ref[0]) * isig
+    r1 = (v - uv_ref[1]) * isig
+
+    r2 = r0 * r0 + r1 * r1
+    if robust:
+        nrm2 = jnp.sqrt(jnp.maximum(r2, 1e-20))
+        rho = jnp.where(nrm2 <= HUBER_DELTA, 0.5 * r2,
+                        HUBER_DELTA * (nrm2 - 0.5 * HUBER_DELTA))
+    else:
+        rho = 0.5 * r2
+    rho = jnp.where(z > 1e-6, rho, CHEIRALITY_PENALTY)
+    mval = mval_ref[...]
+    rho = rho * mval  # masked cost contributions (row 27 of the reduce)
+
+    # analytic Jacobians (same component math as dense_ba._eval_cm)
+    a = fx * inv_z * isig
+    b = fy * inv_z * isig
+    zero = jnp.zeros_like(a)
+    duv = [[a, zero, -a * x0 * inv_z],
+           [zero, b, -b * x1 * inv_z]]  # [2][3] of [O, LT]
+    ns = [[zero, RX[2], -RX[1]],
+          [-RX[2], zero, RX[0]],
+          [RX[1], -RX[0], zero]]  # neg_skew(RX)
+    J_phi = [[sum(duv[al][m] * ns[m][j] for m in range(3)) for j in range(3)]
+             for al in range(2)]
+    Jp = [[sum(duv[al][m] * g[3 * m + j] for m in range(3)) for j in range(3)]
+          for al in range(2)]
+    Jc = [J_phi[0] + duv[0], J_phi[1] + duv[1]]  # [2][6]
+
+    mask = mval * (z > 1e-6).astype(f32)
+    w = mask
+    if robust:
+        nrm = jnp.sqrt(jnp.maximum(r2, 1e-24))
+        w = w * jnp.where(nrm <= HUBER_DELTA, 1.0, HUBER_DELTA / nrm)
+    sw = jnp.sqrt(w)
+    r0 = r0 * sw * mask
+    r1 = r1 * sw * mask
+    sw_free = sw * mfree_ref[...]
+    Jc = [[Jc[al][i] * sw_free for i in range(6)] for al in range(2)]
+    Jp = [[Jp[al][j] * sw for j in range(3)] for al in range(2)]
+
+    # camera-side rows: 21 U + 6 g_c + 1 cost -> [28, N] @ oh -> [28, K]
+    rows = [Jc[0][i] * Jc[0][j] + Jc[1][i] * Jc[1][j] for i, j in _TRIU6]
+    rows += [Jc[0][i] * r0 + Jc[1][i] * r1 for i in range(6)]
+    rows += [rho]
+    stacked = jnp.stack(rows).reshape(N_ROWS, O * LT)
+    contrib = jax.lax.dot_general(
+        stacked, oh_t,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # [28, K]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        red_ref[...] = contrib
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        red_ref[...] += contrib
+
+    # point-side blocks (landmark-local, written per tile)
+    vu_ref[...] = jnp.stack([
+        jnp.sum(Jp[0][i] * Jp[0][j] + Jp[1][i] * Jp[1][j], axis=0)
+        for i, j in _TRIU3
+    ])  # [6, LT]
+    gp_ref[...] = jnp.stack([
+        jnp.sum(Jp[0][i] * r0 + Jp[1][i] * r1, axis=0) for i in range(3)
+    ])  # [3, LT]
+    w_ref[...] = jnp.stack([
+        Jc[0][i] * Jp[0][j] + Jc[1][i] * Jp[1][j]
+        for i in range(6) for j in range(3)
+    ])  # [18, O, LT]
+
+
+def _pick_tile(O, L):
+    """Lane-tile size over the landmark axis: target ~8k obs per tile."""
+    lt = max(128, 8192 // max(O, 1))
+    lt = min(lt, 2048)
+    return ((lt + 127) // 128) * 128
+
+
+@partial(jax.jit, static_argnames=("robust", "interpret"))
+def fused_eval_assemble(K4, cam_t, uv_t, inv_sigma_t, valid_t, fixed_t,
+                        R, t, Xt, robust=True, interpret=False):
+    """Fused eval+assembly over component-major observation planes.
+
+    Inputs mirror dense_ba._CM fields; R [K,3,3], t [K,3], Xt [3,L].
+    Returns (cost, red [K,27], Vu [6,L], g_p [3,L], W [6,3,O,L]) — exactly
+    the tuple `_assemble_cm` produces plus the psum-ready cost.
+    """
+    O, L = cam_t.shape
+    K = R.shape[0]
+    LT = _pick_tile(O, L)
+    Lp = ((L + LT - 1) // LT) * LT
+    pad = Lp - L
+
+    f32 = jnp.float32
+    mval = valid_t.astype(f32)
+    mfree = 1.0 - fixed_t.astype(f32)
+    if pad:
+        padL = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+        cam_t = padL(cam_t)
+        uv_t = padL(uv_t)
+        inv_sigma_t = padL(inv_sigma_t)
+        mval = padL(mval)
+        mfree = padL(mfree)
+        Xt = padL(Xt)
+
+    rt_T = jnp.concatenate([R.reshape(K, 9), t], axis=1).T  # [12, K]
+    k4 = jnp.asarray(K4, f32).reshape(1, 4)
+
+    grid = (Lp // LT,)
+    kern = partial(_kernel, O=O, LT=LT, K=K, robust=robust)
+    red, Vu, g_p, W = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((12, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((O, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, O, LT), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((O, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((O, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((O, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N_ROWS, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, O, LT), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N_ROWS, K), f32),
+            jax.ShapeDtypeStruct((6, Lp), f32),
+            jax.ShapeDtypeStruct((3, Lp), f32),
+            jax.ShapeDtypeStruct((18, O, Lp), f32),
+        ],
+        interpret=interpret,
+    )(k4, rt_T, cam_t, uv_t.astype(f32), inv_sigma_t.astype(f32),
+      mval, mfree, Xt.astype(f32))
+
+    cost = jnp.sum(red[27])
+    red_out = red[:27].T  # [K, 27]
+    if pad:
+        Vu = Vu[:, :L]
+        g_p = g_p[:, :L]
+        W = W[:, :, :L]
+    return cost, red_out, Vu, g_p, W.reshape(6, 3, O, L)
+
+
+def fused_eval_supported(O, L, K):
+    """Conservative gate: VMEM budget for the one-hot + plane working set."""
+    if K > 128 or O > 64:
+        return False
+    LT = _pick_tile(O, L)
+    n = O * LT
+    # one-hot [K, N] + rows [28, N] + ~45 [O, LT] planes + W block, f32
+    vmem = (K * n + N_ROWS * n + 45 * n + 18 * n) * 4
+    return vmem < 12 * 1024 * 1024
