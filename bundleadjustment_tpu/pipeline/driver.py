@@ -1174,9 +1174,23 @@ class BundleAdjustmentPipeline:
             kp_nb = idx[kp_cur]
             pt_cur = m.kp_pt[kf, kp_cur]
             pt_nb = m.kp_pt[nb, kp_nb]
-            # fuse: both have distinct landmarks -> keep the better-observed
-            both = (pt_cur >= 0) & (pt_nb >= 0) & (pt_cur != pt_nb)
-            for i in np.nonzero(both)[0]:
+            # fuse: both have distinct landmarks -> keep the better-observed.
+            # A descriptor match alone is NOT enough: on repetitive texture
+            # two distinct 3-D points can look alike, and an ungated fusion
+            # writes a wrong landmark that BA then fits by dragging the
+            # whole window (root cause of the round-3 config-2 0.47 m ATE).
+            # Gate like the reference's searchInNeighbors cascade
+            # (SfMHelper.cpp:203-496): each landmark must reproject onto the
+            # OTHER frame's matched keypoint within chi2/scale/view-dir.
+            both = np.nonzero(
+                (pt_cur >= 0) & (pt_nb >= 0) & (pt_cur != pt_nb))[0]
+            if len(both):
+                g_nb_in_kf = self._transfer_gate(
+                    pt_nb[both], kf, kp_cur[both])
+                g_cur_in_nb = self._transfer_gate(
+                    pt_cur[both], nb, kp_nb[both])
+                both = both[g_nb_in_kf & g_cur_in_nb]
+            for i in both:
                 a, b = int(pt_cur[i]), int(pt_nb[i])
                 if m.point_obs_count(a) >= m.point_obs_count(b):
                     m.fuse_points(a, b)

@@ -369,22 +369,36 @@ def _assemble_cm(cm: _CM, r, Jc, Jp, psum, bf16=False):
     return red, Vu, g_p, W
 
 
-def _damp_blocks_cm(cm: _CM, red, Vu, lam):
-    """LM-damped U [K,6,6], g_c [K,6], V [3,3,L] from the reduced rows."""
+def _damp_U_cm(cm: _CM, red, lam):
+    """LM-damped camera blocks U [K,6,6], g_c [K,6] from the reduced rows."""
     U = red[:, _SYM6_IDX]  # [K, 6, 6] via one gather
     g_c = red[:, 21:]
-    V = Vu[_SYM3_IDX]  # [3, 3, L]
-
     eye6 = jnp.eye(6, dtype=U.dtype)
     dU = jnp.clip(jnp.diagonal(U, axis1=-2, axis2=-1), 1e-6, None)
     U = U + (lam * dU)[..., None] * eye6
     U = jnp.where(cm.cam_fixed[:, None, None], eye6, U)
     g_c = jnp.where(cm.cam_fixed[:, None], 0.0, g_c)
+    return U, g_c
 
+
+def _damp_blocks_cm(cm: _CM, red, Vu, lam):
+    """LM-damped U [K,6,6], g_c [K,6], V [3,3,L] from the reduced rows."""
+    U, g_c = _damp_U_cm(cm, red, lam)
+    V = Vu[_SYM3_IDX]  # [3, 3, L]
     dV = jnp.stack([jnp.clip(V[i, i], 1e-6, None) for i in range(3)])
     V = V + lam * dV[:, None, :] * jnp.eye(3)[:, :, None]
     V = jnp.where(cm.pt_valid[None, None, :], V, jnp.eye(3)[:, :, None])
     return U, g_c, V
+
+
+def _sym6_matvec(v6, x):
+    """y = M x with M the symmetric 3x3 packed as rows (00,01,02,11,12,22);
+    v6 [6, L], x [3, L] -> [3, L]."""
+    return jnp.stack([
+        v6[0] * x[0] + v6[1] * x[1] + v6[2] * x[2],
+        v6[1] * x[0] + v6[3] * x[1] + v6[4] * x[2],
+        v6[2] * x[0] + v6[4] * x[1] + v6[5] * x[2],
+    ])
 
 
 def _w_reduce(W, x_obs):
@@ -430,6 +444,7 @@ def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
             cost, red, Vu, g_p, W = fused_eval_assemble(
                 cm.K4, cm.cam_t, cm.uv_t, cm.inv_sigma_t, cm.valid_t,
                 cm.fixed_t, R, t, Xt, robust=config.robust,
+                interpret=jax.default_backend() != "tpu",
             )
             return psum(cost), psum(red), Vu, g_p, W
         cost, r, Jc, Jp = _eval_cm(cm, R, t, Xt, config.robust)
@@ -503,16 +518,55 @@ def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
             )
         return dc
 
+    def solve_fused(red, Vu, g_p, W, lam):
+        """Exact-Schur camera solve with the Pallas schur-prepare kernel:
+        G/zv/V^-1/rhs-reduce in one VMEM pass, then Pf/QQ^T/Cholesky on the
+        MXU as in `solve_cameras`."""
+        from bundleadjustment_tpu.solvers.pallas_dense_eval import (
+            fused_schur_prepare,
+        )
+
+        O, L = cm.cam_t.shape
+        U, g_c = _damp_U_cm(cm, red, lam)
+        G, zv, vinv6, red6 = fused_schur_prepare(
+            lam, Vu, g_p, cm.pt_valid, W.reshape(18, O, L), cm.cam_t, K,
+            interpret=jax.default_backend() != "tpu")
+        b = -(g_c - psum(red6))
+        pf_dtype = jnp.bfloat16 if bf16 else G.dtype
+        Pf = jax.lax.dot_general(
+            (jnp.arange(K)[:, None, None] == cm.cam_t[None]).astype(pf_dtype),
+            G.astype(pf_dtype),
+            dimension_numbers=(((1,), (1,)), ((2,), (2,))),
+            preferred_element_type=pf_dtype,
+        ).reshape(L, K, 6, 3)
+        S = -psum(jax.lax.dot_general(
+            Pf, Pf,
+            dimension_numbers=(((0, 3), (0, 3)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        idx = jnp.arange(K)
+        S = S.at[idx, :, idx, :].add(U)
+        S = S.reshape(K * 6, K * 6) + 1e-8 * jnp.eye(K * 6, dtype=S.dtype)
+        dc = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(S), b.reshape(-1)
+        ).reshape(K, 6)
+        return dc, vinv6
+
     def step(state, _):
         R, t, Xt, lam, nu, cost, done, red, Vu, g_p, W = state
-        U, g_c, V = _damp_blocks_cm(cm, red, Vu, lam)
-        V_inv = _sym3_inv_cm(V)
-        dc = solve_cameras(U, g_c, V_inv, g_p, W)
-
-        # back-substitution (fully local per landmark)
-        xg = _gather_cams(dc, cm)
-        y = _w_reduce(W, xg)
-        dp = -_mat3vec_cm(V_inv, g_p + y)  # [3, L]
+        if use_fused and config.solver == "dense":
+            dc, vinv6 = solve_fused(red, Vu, g_p, W, lam)
+            xg = _gather_cams(dc, cm)
+            y = _w_reduce(W, xg)
+            dp = -_sym6_matvec(vinv6, g_p + y)  # [3, L]
+        else:
+            U, g_c, V = _damp_blocks_cm(cm, red, Vu, lam)
+            V_inv = _sym3_inv_cm(V)
+            dc = solve_cameras(U, g_c, V_inv, g_p, W)
+            # back-substitution (fully local per landmark)
+            xg = _gather_cams(dc, cm)
+            y = _w_reduce(W, xg)
+            dp = -_mat3vec_cm(V_inv, g_p + y)  # [3, L]
         dp = jnp.where(cm.pt_valid[None, :], dp, 0.0)
 
         dphi = jnp.where(cm.cam_fixed[:, None], 0.0, dc[:, :3])

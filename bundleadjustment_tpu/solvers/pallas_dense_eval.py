@@ -241,3 +241,164 @@ def fused_eval_supported(O, L, K):
     # one-hot [K, N] + rows [28, N] + ~45 [O, LT] planes + W block, f32
     vmem = (K * n + N_ROWS * n + 45 * n + 18 * n) * 4
     return vmem < 12 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# kernel 2: per-iteration Schur-side prepare
+# ---------------------------------------------------------------------------
+# Fuses what remains [O, L]-elementwise in each LM iteration of the dense
+# solve once the eval+assembly kernel carries red/Vu/g_p/W: damping V,
+# closed-form V^-1 and chol(V^-1), zv = V^-1 g_p, G = W @ chol(V^-1), the
+# rhs reduce rows (W zv), all in one VMEM pass over the landmark tiles.
+# The XLA version of just the G build measured ~0.3 ms at 64 cams/10k lm
+# (nested jnp.stack copies); this kernel is HBM-minimal: read W once, write
+# G once.
+
+N_RHS_ROWS = 8  # 6 used + 2 sublane padding
+
+
+def _schur_kernel(lam_ref, vu_ref, gp_ref, ptv_ref, w_ref, cam_ref,
+                  g_out, zv_out, vinv_out, red6_ref, *, O, LT, K):
+    f32 = jnp.float32
+    lam = lam_ref[0, 0]
+
+    # damped V from the 6 unique rows (order: 00,01,02,11,12,22), identity
+    # for invalid landmarks — matches _damp_blocks_cm + _sym3_inv_cm
+    ptv = ptv_ref[0, :] > 0.5  # [LT]
+    v00, v01, v02 = vu_ref[0], vu_ref[1], vu_ref[2]
+    v11, v12, v22 = vu_ref[3], vu_ref[4], vu_ref[5]
+    v00 = v00 + lam * jnp.clip(v00, 1e-6, None)
+    v11 = v11 + lam * jnp.clip(v11, 1e-6, None)
+    v22 = v22 + lam * jnp.clip(v22, 1e-6, None)
+    one = jnp.ones_like(v00)
+    zero = jnp.zeros_like(v00)
+    v00 = jnp.where(ptv, v00, one)
+    v11 = jnp.where(ptv, v11, one)
+    v22 = jnp.where(ptv, v22, one)
+    v01 = jnp.where(ptv, v01, zero)
+    v02 = jnp.where(ptv, v02, zero)
+    v12 = jnp.where(ptv, v12, zero)
+
+    # closed-form symmetric inverse (same formulas as _sym3_inv_cm)
+    A = v11 * v22 - v12 * v12
+    B = v02 * v12 - v01 * v22
+    Cc = v01 * v12 - v02 * v11
+    det = v00 * A + v01 * B + v02 * Cc
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    D = v00 * v22 - v02 * v02
+    E = v01 * v02 - v00 * v12
+    F = v00 * v11 - v01 * v01
+    i00, i01, i02 = A * inv_det, B * inv_det, Cc * inv_det
+    i11, i12, i22 = D * inv_det, E * inv_det, F * inv_det
+    vinv_out[...] = jnp.stack([i00, i01, i02, i11, i12, i22])
+
+    # chol(V^-1) lower factor (same formulas as _chol3_cm)
+    l00 = jnp.sqrt(jnp.maximum(i00, 1e-20))
+    l10 = i01 / l00
+    l20 = i02 / l00
+    l11 = jnp.sqrt(jnp.maximum(i11 - l10 * l10, 1e-20))
+    l21 = (i12 - l20 * l10) / l11
+    l22 = jnp.sqrt(jnp.maximum(i22 - l20 * l20 - l21 * l21, 1e-20))
+    C = [[l00, zero, zero], [l10, l11, zero], [l20, l21, l22]]
+
+    gp = [gp_ref[0], gp_ref[1], gp_ref[2]]
+    zv = [i00 * gp[0] + i01 * gp[1] + i02 * gp[2],
+          i01 * gp[0] + i11 * gp[1] + i12 * gp[2],
+          i02 * gp[0] + i12 * gp[1] + i22 * gp[2]]
+    zv_out[...] = jnp.stack(zv)
+
+    # G[i,m] = sum_j W[i,j] C[j][m]; W rows packed i*3+j, broadcast [LT]->O
+    W = w_ref[...]  # [18, O, LT]
+    g_out[...] = jnp.stack([
+        sum(W[i * 3 + j] * C[j][m][None, :] for j in range(3))
+        for i in range(6) for m in range(3)
+    ])
+
+    # rhs reduce rows: (W zv)[i,o,l] -> one-hot reduce over cameras
+    wz = [sum(W[i * 3 + j] * zv[j][None, :] for j in range(3))
+          for i in range(6)]
+    wz += [jnp.zeros_like(wz[0])] * (N_RHS_ROWS - 6)
+    stacked = jnp.stack(wz).reshape(N_RHS_ROWS, O * LT)
+    cam_flat = cam_ref[...].reshape(1, O * LT)
+    oh_t = (jax.lax.broadcasted_iota(jnp.int32, (K, O * LT), 0)
+            == cam_flat).astype(f32)
+    contrib = jax.lax.dot_general(
+        stacked, oh_t,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # [8, K]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        red6_ref[...] = contrib
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        red6_ref[...] += contrib
+
+
+@partial(jax.jit, static_argnames=("n_cams", "interpret"))
+def fused_schur_prepare(lam, Vu, g_p, pt_valid, W18, cam_t, n_cams,
+                        interpret=False):
+    """Per-iteration Schur-side prepare on the carried reduced blocks.
+
+    W18: [18, O, L] (the carry's W reshaped).  Returns
+    (G [18,O,L], zv [3,L], vinv6 [6,L], red6 [K,6]) where red6 is the
+    one-hot-reduced (W zv) term of the camera rhs and vinv6 packs the
+    damped V^-1 upper triangle (00,01,02,11,12,22).
+    """
+    O, L = cam_t.shape
+    K = n_cams
+    LT = _pick_tile(O, L)
+    Lp = ((L + LT - 1) // LT) * LT
+    pad = Lp - L
+
+    f32 = jnp.float32
+    ptv = pt_valid.astype(f32).reshape(1, L)
+    Vu = Vu.astype(f32)
+    g_p = g_p.astype(f32)
+    if pad:
+        padL = lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+        Vu = padL(Vu)
+        g_p = padL(g_p)
+        ptv = padL(ptv)
+        W18 = padL(W18)
+        cam_t = padL(cam_t)
+
+    lam2 = jnp.asarray(lam, f32).reshape(1, 1)
+    grid = (Lp // LT,)
+    kern = partial(_schur_kernel, O=O, LT=LT, K=K)
+    G, zv, vinv6, red6 = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((6, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, O, LT), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((O, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((18, O, LT), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_RHS_ROWS, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((18, O, Lp), f32),
+            jax.ShapeDtypeStruct((3, Lp), f32),
+            jax.ShapeDtypeStruct((6, Lp), f32),
+            jax.ShapeDtypeStruct((N_RHS_ROWS, K), f32),
+        ],
+        interpret=interpret,
+    )(lam2, Vu, g_p, ptv, W18, cam_t)
+
+    if pad:
+        G = G[:, :, :L]
+        zv = zv[:, :L]
+        vinv6 = vinv6[:, :L]
+    return G, zv, vinv6, red6[:6].T
