@@ -101,17 +101,34 @@ def _gauss_kernel(sigma, radius):
 # ---------------------------------------------------------------------------
 
 
-def _sep_conv(img, kernel):
-    """Separable 2D convolution (same padding) on [H, W] or batched [B, H, W]."""
-    k = jnp.asarray(kernel)
+def _corr1d(img, kernel, axis):
+    """1D cross-correlation with zero 'same' padding along `axis`.
+
+    Emitted as shifted static slices + weighted adds (pure VPU elementwise)
+    instead of `lax.conv_general_dilated`: XLA's TPU conv emitter costs
+    ~7 ms per [480, 640] pass for these tiny taps, while the shift-add form
+    fuses into the surrounding elementwise graph and is bandwidth-bound
+    (~microseconds).  Bitwise semantics match the conv path: correlation
+    (no kernel flip), zero padding."""
+    k = np.asarray(kernel, np.float32)
     r = (k.shape[0] - 1) // 2
-    batched = img.ndim == 3
-    img4 = img[:, None] if batched else img[None, None]
-    kx = k.reshape(1, 1, 1, -1)
-    ky = k.reshape(1, 1, -1, 1)
-    out = jax.lax.conv_general_dilated(img4, kx, (1, 1), [(0, 0), (r, r)])
-    out = jax.lax.conv_general_dilated(out, ky, (1, 1), [(r, r), (0, 0)])
-    return out[:, 0] if batched else out[0, 0]
+    n = img.shape[axis]
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (r, r)
+    xp = jnp.pad(img, pad)
+    out = None
+    for i in range(k.shape[0]):
+        if k[i] == 0.0:
+            continue
+        term = float(k[i]) * jax.lax.slice_in_dim(xp, i, i + n, axis=axis)
+        out = term if out is None else out + term
+    return out
+
+
+def _sep_conv(img, kernel):
+    """Separable 2D correlation (same zero padding) on [H, W] or [B, H, W]."""
+    out = _corr1d(img, kernel, axis=img.ndim - 1)
+    return _corr1d(out, kernel, axis=img.ndim - 2)
 
 
 def gaussian_blur(img, sigma=2.0, radius=3):
@@ -119,23 +136,11 @@ def gaussian_blur(img, sigma=2.0, radius=3):
 
 
 def _sobel(img):
-    """Sobel gradients (Ix, Iy)."""
-    kd = jnp.asarray([-1.0, 0.0, 1.0])
-    ks = jnp.asarray([1.0, 2.0, 1.0])
-    img4 = img[None, None]
-
-    def conv1d(x, k, axis):
-        r = (k.shape[0] - 1) // 2
-        if axis == 1:
-            kk = k.reshape(1, 1, 1, -1)
-            pad = [(0, 0), (r, r)]
-        else:
-            kk = k.reshape(1, 1, -1, 1)
-            pad = [(r, r), (0, 0)]
-        return jax.lax.conv_general_dilated(x, kk, (1, 1), pad)
-
-    ix = conv1d(conv1d(img4, kd, 1), ks, 0)[0, 0]
-    iy = conv1d(conv1d(img4, kd, 0), ks, 1)[0, 0]
+    """Sobel gradients (Ix, Iy) via separable shift-add correlations."""
+    kd = [-1.0, 0.0, 1.0]
+    ks = [1.0, 2.0, 1.0]
+    ix = _corr1d(_corr1d(img, kd, axis=1), ks, axis=0)
+    iy = _corr1d(_corr1d(img, kd, axis=0), ks, axis=1)
     return ix, iy
 
 
@@ -180,6 +185,37 @@ def fast_corners(img, threshold):
         return (y & np.uint32(0xFFFF)) != 0
 
     return contiguous9(bright) | contiguous9(dark)
+
+
+_RESIZE_W: dict = {}
+
+
+def _resize_mat(dst, src):
+    """[dst, src] linear-resize weight matrix, identical to what
+    `jax.image.resize(..., "linear")` applies along one axis (computed once
+    per shape pair by resizing an identity, then cached host-side)."""
+    key = (dst, src)
+    if key not in _RESIZE_W:
+        with jax.ensure_compile_time_eval():
+            eye = jnp.eye(src, dtype=jnp.float32)
+            _RESIZE_W[key] = np.asarray(
+                jax.image.resize(eye, (dst, src), "linear")
+            )
+    return _RESIZE_W[key]
+
+
+def _resize_linear(img, h_out, w_out):
+    """Linear image resize as two small MXU matmuls.
+
+    `jax.image.resize` lowers to gathers on TPU (~9 ms for a 7-level
+    pyramid from 640x480); expressing the same linear map as
+    [h_out, H] @ img @ [W, w_out] runs on the MXU in ~microseconds.
+    HIGHEST precision keeps the interpolation in f32 (default TPU matmul
+    precision is bf16, which would quantize the image)."""
+    wh = jnp.asarray(_resize_mat(h_out, img.shape[0]))
+    ww = jnp.asarray(_resize_mat(w_out, img.shape[1]))
+    out = jnp.dot(wh, img, precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(out, ww.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def _nms3(score):
@@ -321,7 +357,7 @@ def detect_and_describe(image, cfg: FeatureConfig = FeatureConfig()):
         if lvl > 0:
             h_l = max(int(round(H / scale)), 2 * cfg.border + 8)
             w_l = max(int(round(W / scale)), 2 * cfg.border + 8)
-            img_l = jax.image.resize(image, (h_l, w_l), "linear")
+            img_l = _resize_linear(image, h_l, w_l)
         ys, xs, resp, ang, desc, valid = _detect_level(img_l, allocs[lvl], cfg)
         xy0 = jnp.stack([xs, ys], -1) * scale
         octave = jnp.full(allocs[lvl], lvl, jnp.int32)

