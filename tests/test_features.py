@@ -140,3 +140,51 @@ def test_fast_corners_bitpack_matches_naive():
     expect = naive9(bright) | naive9(dark)
     got = np.asarray(fast_corners(jnp.asarray(img), thr))
     np.testing.assert_array_equal(got, expect)
+
+
+def test_shift_add_conv_matches_lax_conv():
+    """The shift-add separable correlation (TPU-fast lowering) must be
+    numerically identical to the `lax.conv_general_dilated` formulation it
+    replaced (zero 'same' padding, no kernel flip)."""
+    import jax
+    from bundleadjustment_tpu.ops.features import _gauss_kernel, _sep_conv, _sobel
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((97, 130)).astype(np.float32))
+    k = _gauss_kernel(2.0, 3)
+
+    def ref_sep(img, kernel):
+        kk = jnp.asarray(kernel)
+        r = (kk.shape[0] - 1) // 2
+        img4 = img[None, None]
+        kx = kk.reshape(1, 1, 1, -1)
+        ky = kk.reshape(1, 1, -1, 1)
+        out = jax.lax.conv_general_dilated(img4, kx, (1, 1), [(0, 0), (r, r)])
+        out = jax.lax.conv_general_dilated(out, ky, (1, 1), [(r, r), (0, 0)])
+        return out[0, 0]
+
+    np.testing.assert_allclose(
+        np.asarray(_sep_conv(img, k)), np.asarray(ref_sep(img, k)),
+        atol=1e-6,
+    )
+    # Sobel antisymmetric tap: correlation (not flipped convolution)
+    ix, iy = _sobel(img)
+    ramp = jnp.asarray(np.tile(np.arange(20, dtype=np.float32), (20, 1)))
+    ix_r, _ = _sobel(ramp)
+    # interior gradient of a unit x-ramp under [-1,0,1]x[1,2,1] is +8
+    assert np.allclose(np.asarray(ix_r)[5:-5, 5:-5], 8.0)
+    assert np.asarray(ix).shape == img.shape and np.asarray(iy).shape == img.shape
+
+
+def test_matmul_resize_matches_jax_image_resize():
+    """The cached-weight matmul resize must reproduce
+    `jax.image.resize(..., "linear")` (same antialiased triangle weights)."""
+    import jax
+    from bundleadjustment_tpu.ops.features import _resize_linear
+
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.random((480, 640)).astype(np.float32))
+    for (h, w) in [(400, 533), (231, 309), (134, 179)]:
+        got = np.asarray(_resize_linear(img, h, w))
+        want = np.asarray(jax.image.resize(img, (h, w), "linear"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
