@@ -149,6 +149,39 @@ def main():
     else:
         iters_cpu = iters_dev
 
+    # BASELINE config-5-scale marginal (128 cams / 100k landmarks): fixed
+    # per-iteration costs (QQ^T MXU passes, the 768x768 Cholesky, dispatch
+    # floors) dominate the 10k-landmark marginal above; at 100k they
+    # amortize and the marginal MFU is the speed-of-light figure.  Run as a
+    # subprocess with a hard timeout so a hung relay can never take the
+    # headline line down with it.
+    large = {}
+    try:
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "bench_large.py")],
+            capture_output=True, text=True, timeout=540,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            large = {
+                "large_n_cams": rec.get("n_cams"),
+                "large_n_landmarks": rec.get("n_landmarks"),
+                "large_iter_per_s": rec.get("value"),
+                "large_marginal_iter_per_s": rec.get("marginal_iter_per_s"),
+                "large_marginal_mfu": rec.get("marginal_mfu"),
+                "large_marginal_tflops": rec.get("marginal_tflops"),
+            }
+            break
+    except Exception:
+        large = {}
+
     print(
         json.dumps(
             {
@@ -179,6 +212,7 @@ def main():
                     if roof_marginal["mfu"] else None
                 ),
                 "marginal_tflops": round(roof_marginal["achieved_tflops"], 3),
+                **large,
             }
         )
     )

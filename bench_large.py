@@ -1,8 +1,10 @@
 """Large-scale BA benchmark: 100k landmarks on one chip (BASELINE config 5's
 problem size, single-device; the distributed variant shards the same layout).
 
-Not run by the round driver (bench.py is the headline); numbers land in
-BASELINE.md.
+bench.py runs this as a timeout-guarded subprocess and merges the JSON line
+into its headline record (the marginal MFU at this scale is the
+speed-of-light figure — fixed per-iteration costs amortize); it also runs
+standalone, with numbers landing in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -54,11 +56,31 @@ def main():
         run()
         best = min(best, time.perf_counter() - t0)
 
-    from bundleadjustment_tpu.utils.flops import roofline
+    from bundleadjustment_tpu.utils.flops import FLOP_MODEL_VERSION, roofline
 
     iters_s = LM_ITERS / best
     roof = roofline(iters_s, N_CAMS, N_PTS, MAX_OBS, jax.devices()[0],
                     solver="dense")
+
+    # marginal per-iteration device time: difference the wall times of the
+    # LM_ITERS and 2*LM_ITERS scans (subtracts dispatch/relay latency)
+    cfg2 = LMConfig(max_iters=2 * LM_ITERS, solver="dense")
+
+    def run2():
+        cams, pts, _ = dense_ba_solve(
+            dense, jnp.asarray(sc.extr_init), jnp.asarray(sc.points_init), cfg2
+        )
+        jax.device_get((cams, pts))
+
+    run2()
+    best2 = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run2()
+        best2 = min(best2, time.perf_counter() - t0)
+    marginal_iter_s = LM_ITERS / max(best2 - best, 1e-9)
+    roof_marginal = roofline(marginal_iter_s, N_CAMS, N_PTS, MAX_OBS,
+                             jax.devices()[0], solver="dense")
     print(
         json.dumps(
             {
@@ -73,11 +95,18 @@ def main():
                 "cost_reduction": round(
                     float(info["cost0"]) / max(float(info["cost"]), 1e-12), 1
                 ),
+                "flop_model_version": FLOP_MODEL_VERSION,
                 "flops_per_iter": roof["flops_per_iter"],
                 "achieved_tflops": round(roof["achieved_tflops"], 3),
                 "mfu": round(roof["mfu"], 4) if roof["mfu"] else None,
                 "arith_intensity": round(roof["arith_intensity"], 1),
                 "dominant_term": roof["dominant_term"],
+                "marginal_iter_per_s": round(marginal_iter_s, 2),
+                "marginal_mfu": (
+                    round(roof_marginal["mfu"], 4)
+                    if roof_marginal["mfu"] else None
+                ),
+                "marginal_tflops": round(roof_marginal["achieved_tflops"], 3),
             }
         )
     )
