@@ -106,21 +106,64 @@ def time_solve(device, sc, dense, repeats=3, layout="dense", iters=LM_ITERS):
     return iters / best, float(info["cost0"]), float(info["cost"])
 
 
+def _run_bench_large():
+    """Run bench_large.py as a timeout-guarded subprocess and return its
+    merged JSON fields ({} on failure, with the failure logged to stderr —
+    the headline line must survive a hung relay)."""
+    import os
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "bench_large.py")],
+            capture_output=True, text=True, timeout=540,
+        )
+    except subprocess.TimeoutExpired:
+        print("bench_large.py timed out after 540s; omitting large-scale "
+              "fields", file=sys.stderr)
+        return {}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        return {
+            "large_n_cams": rec.get("n_cams"),
+            "large_n_landmarks": rec.get("n_landmarks"),
+            "large_iter_per_s": rec.get("value"),
+            "large_marginal_iter_per_s": rec.get("marginal_iter_per_s"),
+            "large_marginal_mfu": rec.get("marginal_mfu"),
+            "large_marginal_tflops": rec.get("marginal_tflops"),
+            "large_marginal_ms_stderr": rec.get("marginal_ms_stderr"),
+        }
+    print(f"bench_large.py produced no JSON line (rc={proc.returncode}); "
+          f"stderr tail: {proc.stderr[-400:]}", file=sys.stderr)
+    return {}
+
+
 def main():
     import os
 
     import jax
 
     # persistent compile cache: repeat bench runs (driver rounds) skip the
-    # multi-minute XLA compiles where the platform honors the cache
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # multi-minute XLA compiles where the platform honors the cache.  The
+    # cache dir is keyed by host CPU features (utils/cache.py) so a stale
+    # entry from a different relay host can't SIGILL this run.
+    from bundleadjustment_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    # BASELINE config-5-scale marginal (128 cams / 100k landmarks) runs
+    # FIRST, as a subprocess, before this process initializes the TPU —
+    # platforms with exclusive libtpu locking would otherwise hang the
+    # child until its timeout on every run (round-3 advisor finding).
+    large = _run_bench_large()
 
     from bundleadjustment_tpu.utils.flops import FLOP_MODEL_VERSION, roofline
+    from bundleadjustment_tpu.utils.marginal import measure_marginal
 
     sc, dense, n_obs = build_problem()
 
@@ -129,12 +172,17 @@ def main():
     roof = roofline(iters_dev, N_CAMS, N_PTS, MAX_OBS, default_dev,
                     solver="dense")
 
-    # marginal per-iteration device time (subtracts dispatch/relay latency,
-    # which dominates end-to-end numbers on a tunneled dev TPU): time 2x the
-    # iterations and difference the wall times
-    iters_2x, _, _ = time_solve(default_dev, sc, dense, iters=2 * LM_ITERS)
-    t1, t2 = LM_ITERS / iters_dev, (2 * LM_ITERS) / iters_2x
-    marginal_iter_s = LM_ITERS / max(t2 - t1, 1e-9)
+    # marginal per-iteration device time: least-squares slope of wall time
+    # vs scan length over 4 iteration counts x 3 repeats (the round-3
+    # two-point differencing was noise-dominated — see utils/marginal.py).
+    # The fit intercept absorbs dispatch/relay latency; stderr is reported.
+    def _t(it):
+        iters_s, _, _ = time_solve(default_dev, sc, dense, repeats=1,
+                                   iters=it)
+        return it / iters_s
+
+    fit = measure_marginal(_t, iter_counts=(5, 10, 20, 40), repeats=3)
+    marginal_iter_s = fit["iters_per_s"]
     roof_marginal = roofline(marginal_iter_s, N_CAMS, N_PTS, MAX_OBS,
                              default_dev, solver="dense")
 
@@ -148,39 +196,6 @@ def main():
         iters_cpu, _, _ = time_solve(cpu, sc, dense, repeats=1, layout="flat")
     else:
         iters_cpu = iters_dev
-
-    # BASELINE config-5-scale marginal (128 cams / 100k landmarks): fixed
-    # per-iteration costs (QQ^T MXU passes, the 768x768 Cholesky, dispatch
-    # floors) dominate the 10k-landmark marginal above; at 100k they
-    # amortize and the marginal MFU is the speed-of-light figure.  Run as a
-    # subprocess with a hard timeout so a hung relay can never take the
-    # headline line down with it.
-    large = {}
-    try:
-        import subprocess
-        import sys
-
-        proc = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "bench_large.py")],
-            capture_output=True, text=True, timeout=540,
-        )
-        for line in reversed(proc.stdout.strip().splitlines()):
-            try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            large = {
-                "large_n_cams": rec.get("n_cams"),
-                "large_n_landmarks": rec.get("n_landmarks"),
-                "large_iter_per_s": rec.get("value"),
-                "large_marginal_iter_per_s": rec.get("marginal_iter_per_s"),
-                "large_marginal_mfu": rec.get("marginal_mfu"),
-                "large_marginal_tflops": rec.get("marginal_tflops"),
-            }
-            break
-    except Exception:
-        large = {}
 
     print(
         json.dumps(
@@ -212,6 +227,14 @@ def main():
                     if roof_marginal["mfu"] else None
                 ),
                 "marginal_tflops": round(roof_marginal["achieved_tflops"], 3),
+                # least-squares fit diagnostics (utils/marginal.py): slope
+                # +/- stderr in ms/iter and the raw (iters, best_s) points
+                "marginal_ms_per_iter": round(fit["slope_s"] * 1e3, 4),
+                "marginal_ms_stderr": round(fit["slope_stderr_s"] * 1e3, 4),
+                "marginal_fit_intercept_ms": round(
+                    fit["intercept_s"] * 1e3, 2),
+                "marginal_fit_points": [
+                    [it, round(t, 5)] for it, t in fit["points"]],
                 **large,
             }
         )

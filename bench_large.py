@@ -62,23 +62,29 @@ def main():
     roof = roofline(iters_s, N_CAMS, N_PTS, MAX_OBS, jax.devices()[0],
                     solver="dense")
 
-    # marginal per-iteration device time: difference the wall times of the
-    # LM_ITERS and 2*LM_ITERS scans (subtracts dispatch/relay latency)
-    cfg2 = LMConfig(max_iters=2 * LM_ITERS, solver="dense")
+    # marginal per-iteration device time: least-squares slope of wall time
+    # vs scan length (4 counts x 3 repeats; see utils/marginal.py — the
+    # round-3 two-point differencing was noise-dominated and inflated the
+    # marginal 3x)
+    from bundleadjustment_tpu.utils.marginal import measure_marginal
 
-    def run2():
-        cams, pts, _ = dense_ba_solve(
-            dense, jnp.asarray(sc.extr_init), jnp.asarray(sc.points_init), cfg2
-        )
-        jax.device_get((cams, pts))
+    def _t(it):
+        cfg_it = LMConfig(max_iters=it, solver="dense")
 
-    run2()
-    best2 = float("inf")
-    for _ in range(2):
+        def run_it():
+            cams, pts, _ = dense_ba_solve(
+                dense, jnp.asarray(sc.extr_init),
+                jnp.asarray(sc.points_init), cfg_it
+            )
+            jax.device_get((cams, pts))
+
+        run_it()  # compile + warm (jit cache makes this cheap after 1st)
         t0 = time.perf_counter()
-        run2()
-        best2 = min(best2, time.perf_counter() - t0)
-    marginal_iter_s = LM_ITERS / max(best2 - best, 1e-9)
+        run_it()
+        return time.perf_counter() - t0
+
+    fit = measure_marginal(_t, iter_counts=(3, 5, 10, 20), repeats=3)
+    marginal_iter_s = fit["iters_per_s"]
     roof_marginal = roofline(marginal_iter_s, N_CAMS, N_PTS, MAX_OBS,
                              jax.devices()[0], solver="dense")
     print(
@@ -107,6 +113,10 @@ def main():
                     if roof_marginal["mfu"] else None
                 ),
                 "marginal_tflops": round(roof_marginal["achieved_tflops"], 3),
+                "marginal_ms_per_iter": round(fit["slope_s"] * 1e3, 4),
+                "marginal_ms_stderr": round(fit["slope_stderr_s"] * 1e3, 4),
+                "marginal_fit_points": [
+                    [it, round(t, 5)] for it, t in fit["points"]],
             }
         )
     )

@@ -58,6 +58,9 @@ def build_parser():
                    "fused Pallas kernel on TPU, XLA elsewhere)")
     p.add_argument("--no-fused-tracking", action="store_true", default=False,
                    help="run detect/match/BA as separate dispatches")
+    p.add_argument("--no-warmup", action="store_true", default=False,
+                   help="skip the background compile warm-up that pre-seeds "
+                        "the pipeline's jit shape buckets")
     p.add_argument("--track-batch", type=int, default=8,
                    help="device-resident tracking microbatch size: this many "
                         "consecutive tracked frames run as one dispatch "
@@ -144,6 +147,13 @@ def main(argv=None):
         verbose=args.verbose,
     )
     pipe = BundleAdjustmentPipeline(cfg, ds.K4, ds.width, ds.height)
+    if not args.no_warmup:
+        # pre-seed the jit shape buckets on background threads — on a
+        # remote-compile TPU every first-touch bucket otherwise stalls the
+        # frame loop (round-3: ~9 s per fresh local-BA bucket)
+        from bundleadjustment_tpu.pipeline.warmup import CompileWarmer
+
+        CompileWarmer(pipe).start()
 
     os.makedirs(args.output_path, exist_ok=True)
     prefix = os.path.join(args.output_path, output_prefix(args))

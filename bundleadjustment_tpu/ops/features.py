@@ -22,6 +22,7 @@ produced by this same module, so no learned pattern table is needed.
 
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 from typing import NamedTuple
@@ -111,17 +112,19 @@ def _corr1d(img, kernel, axis):
     (~microseconds).  Bitwise semantics match the conv path: correlation
     (no kernel flip), zero padding."""
     k = np.asarray(kernel, np.float32)
+    # even-length kernels would slice past the padded extent, and an
+    # all-zero kernel would silently return None at trace time
+    assert k.shape[0] % 2 == 1, f"kernel length must be odd, got {k.shape[0]}"
     r = (k.shape[0] - 1) // 2
     n = img.shape[axis]
     pad = [(0, 0)] * img.ndim
     pad[axis] = (r, r)
     xp = jnp.pad(img, pad)
-    out = None
+    out = jnp.zeros_like(img)
     for i in range(k.shape[0]):
         if k[i] == 0.0:
             continue
-        term = float(k[i]) * jax.lax.slice_in_dim(xp, i, i + n, axis=axis)
-        out = term if out is None else out + term
+        out = out + float(k[i]) * jax.lax.slice_in_dim(xp, i, i + n, axis=axis)
     return out
 
 
@@ -187,21 +190,15 @@ def fast_corners(img, threshold):
     return contiguous9(bright) | contiguous9(dark)
 
 
-_RESIZE_W: dict = {}
-
-
+@functools.lru_cache(maxsize=256)
 def _resize_mat(dst, src):
     """[dst, src] linear-resize weight matrix, identical to what
     `jax.image.resize(..., "linear")` applies along one axis (computed once
-    per shape pair by resizing an identity, then cached host-side)."""
-    key = (dst, src)
-    if key not in _RESIZE_W:
-        with jax.ensure_compile_time_eval():
-            eye = jnp.eye(src, dtype=jnp.float32)
-            _RESIZE_W[key] = np.asarray(
-                jax.image.resize(eye, (dst, src), "linear")
-            )
-    return _RESIZE_W[key]
+    per shape pair by resizing an identity; lru-cached host-side — bounded
+    and thread-safe, unlike the former hand-rolled dict)."""
+    with jax.ensure_compile_time_eval():
+        eye = jnp.eye(src, dtype=jnp.float32)
+        return np.asarray(jax.image.resize(eye, (dst, src), "linear"))
 
 
 def _resize_linear(img, h_out, w_out):

@@ -18,6 +18,43 @@ import time
 import numpy as np
 
 
+def psum_bytes_per_iter(n_cams: int) -> int:
+    """ICI bytes all-reduced per LM iteration of the landmark-sharded dense
+    Schur solve — a function of the CAMERA count only (landmark-side state
+    never crosses devices).  Read off the compiled HLO and locked by
+    tests/test_scaling.py::test_sharded_ba_psum_traffic_independent_of_landmarks:
+    the reduced camera system S [6K, 6K] f32 (dominant), the 27 reduced
+    camera rows [K, 27], the rhs term [K, 6], and the scalar cost."""
+    K = n_cams
+    return 4 * (36 * K * K + 27 * K + 6 * K + 1)
+
+
+def predicted_efficiency(
+    n_cams: int,
+    n_landmarks: int,
+    n_devices: int,
+    obs_per_pt: int = 6,
+    link_gbps: float = 45.0,
+    mxu_tflops: float = 25.0,
+) -> float:
+    """Analytic scaling-efficiency floor for the landmark-sharded exact
+    Schur solve on a D-device ring (BASELINE.md "Scaling evidence"):
+
+      comm/iter  = 2 * psum_bytes * (D-1)/D / link_bw   (ring all-reduce)
+      compute/iter ~= QQ^T flops / D / mxu_rate          (dominant term)
+      efficiency = compute / (compute + comm)
+
+    Defaults are the measured v5e figures: 45 GB/s/direction ICI links and
+    the 25 TF/s f32 (bf16x3-class) rate of the QQ^T contraction.  The model
+    deliberately ignores the small fixed per-iteration terms, making it a
+    FLOOR in the >=100k-landmark regime it is quoted for (config 5)."""
+    K, L, D = n_cams, n_landmarks, n_devices
+    comm_s = 2 * psum_bytes_per_iter(K) * (D - 1) / D / (link_gbps * 1e9)
+    qqt_flops = 2 * (6 * K) ** 2 * (3 * L)
+    compute_s = qqt_flops / D / (mxu_tflops * 1e12)
+    return compute_s / (compute_s + comm_s)
+
+
 def measure_scaling(
     n_landmarks=8192,
     n_cams=32,

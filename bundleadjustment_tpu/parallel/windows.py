@@ -83,11 +83,9 @@ def _batched_solve_halo(probs, cams, points, gids, config, n_global):
     return cams_o, pts_o, info, sums, cnts
 
 
-def _sharded_solve_halo(probs, cams, points, gids, config, n_global, mesh):
-    """Window-axis sharded solve (shard_map over `mesh`) + landmark halo
-    exchange.  Each device solves W/D windows locally; the psum of the halo
-    segments is the ONLY collective — traffic ∝ distinct landmarks, not
-    observations."""
+def make_sharded_halo_fn(config, n_global, mesh):
+    """The jittable window-sharded solve + halo exchange (exposed so tests
+    can `.lower()` it and assert the compiled collective traffic)."""
 
     def local(p, c, x, g):
         cams_o, pts_o, info = jax.vmap(
@@ -99,7 +97,7 @@ def _sharded_solve_halo(probs, cams, points, gids, config, n_global, mesh):
         return cams_o, pts_o, info, sums, cnts
 
     spec = P(WINDOW_AXIS)
-    fn = jax.shard_map(
+    return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
@@ -109,6 +107,15 @@ def _sharded_solve_halo(probs, cams, points, gids, config, n_global, mesh):
         # rejects that even though the math is device-local — skip it
         check_vma=False,
     )
+
+
+def _sharded_solve_halo(probs, cams, points, gids, config, n_global, mesh):
+    """Window-axis sharded solve (shard_map over `mesh`) + landmark halo
+    exchange.  Each device solves W/D windows locally; the psum of the halo
+    segments is the ONLY collective — traffic ∝ distinct landmarks, not
+    observations."""
+    fn = make_sharded_halo_fn(config, n_global, mesh)
+    spec = P(WINDOW_AXIS)
     if len({d.process_index for d in mesh.devices.flat}) > 1:
         # multi-process mesh: place each input explicitly (every process
         # holds the same host-global value; device_put keeps only the

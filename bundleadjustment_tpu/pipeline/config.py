@@ -68,6 +68,15 @@ class PipelineConfig:
     #   batch).  Frames after the first keyframe/loss in a batch are discarded
     #   and re-run, since the keyframe mutates the map.  <=1 disables.
     pnp_translation_guard: float = 1.0  # ||t|| jump reject (SfMHelper.cpp:76-80)
+    refine_guided: bool = True  # finalize-time trajectory refinement: before
+    #   re-solving each tracked (non-key) frame against the BA-refined map,
+    #   run a guided re-association (project active landmarks at the stored
+    #   pose, descriptor-match within track_window_px) so the re-solve sees
+    #   the full post-BA constraint set instead of only the sparse tracking-
+    #   time inlier list.  Round-3 diagnosis: config-2 full-trajectory ATE
+    #   was 2x keyframe-only ATE from per-tracked-frame pose noise around a
+    #   consistent map (BASELINE.md).  Stores per-frame keypoints (~160 KB/
+    #   frame host RAM); disable for memory-constrained very long runs.
 
     # covisibility / windows
     covis_threshold: int = 10  # Frame.cpp:327

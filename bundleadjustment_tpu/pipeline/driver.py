@@ -250,6 +250,11 @@ def _tri_batch_jit(K4, extr_a, extr_b, xa, xb, sa, sb, valid):
     )(K4, extr_a, extr_b, xa, xb, sa, sb, valid)
 
 
+# pairwise gated triangulation as ONE dispatch: the eager call paid one
+# relay round-trip per primitive on a tunneled TPU
+_tri_gated_jit = jax.jit(triangulate_gated)
+
+
 def _pow2(n, minimum):
     """Smallest power-of-two bucket >= max(n, minimum) — the single place
     that defines the jit-shape bucketing policy for variable-length work."""
@@ -295,6 +300,10 @@ class TrackRecord:
     assoc_pt: np.ndarray | None = None
     assoc_uv: np.ndarray | None = None
     assoc_sig: np.ndarray | None = None
+    # full keypoint set of the frame (cfg.refine_guided): lets finalize run
+    # a guided re-association against the post-BA map before the re-solve
+    feats: "FrameFeatures | None" = None
+    assoc_kp: np.ndarray | None = None
 
 
 class BundleAdjustmentPipeline:
@@ -867,7 +876,7 @@ class BundleAdjustmentPipeline:
         s2 = np.ones(cap, np.float32)
         s1[:n] = rf.sigma2[pair_ref]
         s2[:n] = cur_feats.sigma2[pair_cur]
-        pts, ok = triangulate_gated(
+        pts, ok = _tri_gated_jit(
             jnp.asarray(self.K4),
             jnp.asarray(m.kf_pose[ref].astype(np.float32)),
             jnp.asarray(rel.astype(np.float32)),
@@ -992,7 +1001,7 @@ class BundleAdjustmentPipeline:
         xb[:n_real] = fb.xy[pair_b]
         sa[:n_real] = fa.sigma2[pair_a]
         sb[:n_real] = fb.sigma2[pair_b]
-        pts, ok = triangulate_gated(
+        pts, ok = _tri_gated_jit(
             jnp.asarray(self.K4),
             jnp.asarray(m.kf_pose[slot_a].astype(np.float32)),
             jnp.asarray(m.kf_pose[slot_b].astype(np.float32)),
@@ -1572,6 +1581,14 @@ class BundleAdjustmentPipeline:
                 assoc_pt=assoc_pt[inl_idx].copy(),
                 assoc_uv=feats.xy[assoc_kp[inl_idx]].copy(),
                 assoc_sig=feats.sigma2[assoc_kp[inl_idx]].copy(),
+                # host-only copy: keeping desc_dev refs alive per frame
+                # would pin ~150 KB of HBM per tracked frame
+                feats=(FrameFeatures(
+                    xy=feats.xy, octave=feats.octave, sigma2=feats.sigma2,
+                    desc=feats.desc, valid=feats.valid)
+                    if cfg.refine_guided else None),
+                assoc_kp=(assoc_kp[inl_idx].copy()
+                          if cfg.refine_guided else None),
             )
         )
 
@@ -1638,6 +1655,24 @@ class BundleAdjustmentPipeline:
         ]
         if not recs:
             return
+        if self.cfg.refine_guided:
+            # guided re-association against the post-final-BA map: the
+            # tracking-time inlier list is sparse (last-frame matches only)
+            # and its geometry caps the re-solve accuracy; projecting the
+            # refined landmarks into each stored frame recovers the full
+            # constraint set (round-3 VERDICT #6)
+            for rec in recs:
+                if rec.feats is None or rec.assoc_kp is None:
+                    continue
+                live = m.pt_active[rec.assoc_pt] == 1
+                ap = rec.assoc_pt[live].astype(np.int64)
+                ak = rec.assoc_kp[live].astype(np.int64)
+                ap2, ak2 = self._track_local_map(rec.feats, rec.extr, ap, ak)
+                if len(ap2) > len(ap):
+                    rec.assoc_pt = ap2
+                    rec.assoc_kp = ak2
+                    rec.assoc_uv = rec.feats.xy[ak2].copy()
+                    rec.assoc_sig = rec.feats.sigma2[ak2].copy()
         M = self.cfg.max_track_obs
         B = len(recs)
         P = np.zeros((B, M, 3), np.float32)

@@ -416,12 +416,15 @@ def _w_apply(W, z_pt):
     ])
 
 
-def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
+def _make_step(cm: _CM, config: LMConfig, psum=None):
     """Build the (step, eval_assemble) pair for `lax.scan`.  `psum` is the
-    cross-shard reduction hook: identity single-device, `lax.psum` inside
+    cross-shard reduction hook: None single-device, `lax.psum` inside
     shard_map.  `eval_assemble(R, t, Xt) -> (cost, red, Vu, g_p, W)` seeds
     the scan state; `step` carries the trial point's REDUCED blocks forward
     on acceptance (damping is independent of them, see _assemble_cm)."""
+    single = psum is None
+    if single:
+        psum = lambda x: x
     K = cm.cam_fixed.shape[0]
     bf16 = config.mxu_bf16
 
@@ -519,31 +522,62 @@ def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
         return dc
 
     def solve_fused(red, Vu, g_p, W, lam):
-        """Exact-Schur camera solve with the Pallas schur-prepare kernel:
-        G/zv/V^-1/rhs-reduce in one VMEM pass, then Pf/QQ^T/Cholesky on the
-        MXU as in `solve_cameras`."""
+        """Exact-Schur camera solve with the Pallas schur kernels.
+
+        Preferred path (kernel 3): prepare + Q expansion + S = QQ^T
+        accumulated entirely in VMEM — the XLA Pf materialization
+        ([L,K,6,3], 46 MB at 64c/10k) cost 0.35 ms/iteration of HBM traffic
+        (round-3 attribution).  Fallback (kernel 2 + XLA matmuls) covers
+        shapes the S kernel's VMEM gate rejects."""
         from bundleadjustment_tpu.solvers.pallas_dense_eval import (
             fused_schur_prepare,
+            fused_schur_prepare_s,
+            fused_schur_s_supported,
         )
 
         O, L = cm.cam_t.shape
         U, g_c = _damp_U_cm(cm, red, lam)
-        G, zv, vinv6, red6 = fused_schur_prepare(
-            lam, Vu, g_p, cm.pt_valid, W.reshape(18, O, L), cm.cam_t, K,
-            interpret=jax.default_backend() != "tpu")
-        b = -(g_c - psum(red6))
-        pf_dtype = jnp.bfloat16 if bf16 else G.dtype
-        Pf = jax.lax.dot_general(
-            (jnp.arange(K)[:, None, None] == cm.cam_t[None]).astype(pf_dtype),
-            G.astype(pf_dtype),
-            dimension_numbers=(((1,), (1,)), ((2,), (2,))),
-            preferred_element_type=pf_dtype,
-        ).reshape(L, K, 6, 3)
-        S = -psum(jax.lax.dot_general(
-            Pf, Pf,
-            dimension_numbers=(((0, 3), (0, 3)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ))
+        interpret = jax.default_backend() != "tpu"
+        if fused_schur_s_supported(O, L, K) and single:
+            # single-device: the kernel folds the damped U embed + jitter
+            # and emits the final Schur matrix, ready for Cholesky
+            S, zv, vinv6, red6 = fused_schur_prepare_s(
+                lam, Vu, g_p, cm.pt_valid, W.reshape(18, O, L), cm.cam_t, K,
+                U36=U.transpose(1, 2, 0).reshape(36, K),
+                s_bf16=not interpret, interpret=interpret)
+            b = -(g_c - red6)
+            dc = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(S), b.reshape(-1)
+            ).reshape(K, 6)
+            return dc, vinv6
+        if fused_schur_s_supported(O, L, K):
+            # s_bf16 matches XLA's DEFAULT TPU matmul precision (bf16
+            # multiply, f32 accumulate) that the replaced Pf/QQ^T pair used;
+            # interpret/CPU runs keep f32 so parity tests compare exactly
+            S_qqt, zv, vinv6, red6 = fused_schur_prepare_s(
+                lam, Vu, g_p, cm.pt_valid, W.reshape(18, O, L), cm.cam_t, K,
+                s_bf16=not interpret, interpret=interpret)
+            b = -(g_c - psum(red6))
+            S = -psum(S_qqt)
+            S = S.reshape(K, 6, K, 6)
+        else:
+            G, zv, vinv6, red6 = fused_schur_prepare(
+                lam, Vu, g_p, cm.pt_valid, W.reshape(18, O, L), cm.cam_t, K,
+                interpret=interpret)
+            b = -(g_c - psum(red6))
+            pf_dtype = jnp.bfloat16 if bf16 else G.dtype
+            Pf = jax.lax.dot_general(
+                (jnp.arange(K)[:, None, None] == cm.cam_t[None]
+                 ).astype(pf_dtype),
+                G.astype(pf_dtype),
+                dimension_numbers=(((1,), (1,)), ((2,), (2,))),
+                preferred_element_type=pf_dtype,
+            ).reshape(L, K, 6, 3)
+            S = -psum(jax.lax.dot_general(
+                Pf, Pf,
+                dimension_numbers=(((0, 3), (0, 3)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
         idx = jnp.arange(K)
         S = S.at[idx, :, idx, :].add(U)
         S = S.reshape(K * 6, K * 6) + 1e-8 * jnp.eye(K * 6, dtype=S.dtype)
@@ -555,10 +589,29 @@ def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
     def step(state, _):
         R, t, Xt, lam, nu, cost, done, red, Vu, g_p, W = state
         if use_fused and config.solver == "dense":
+            from bundleadjustment_tpu.solvers.pallas_dense_eval import (
+                fused_eval_assemble_bs,
+            )
+
             dc, vinv6 = solve_fused(red, Vu, g_p, W, lam)
-            xg = _gather_cams(dc, cm)
-            y = _w_reduce(W, xg)
-            dp = -_sym6_matvec(vinv6, g_p + y)  # [3, L]
+            dphi = jnp.where(cm.cam_fixed[:, None], 0.0, dc[:, :3])
+            dt = jnp.where(cm.cam_fixed[:, None], 0.0, dc[:, 3:])
+            R_new = aa_to_rotmat(dphi) @ R
+            t_new = t + dt
+            # landmark back-substitution is FUSED into the trial eval
+            # kernel (it reads the carried W/vinv6/g_p blocks anyway)
+            new_cost, red_new, Vu_new, gp_new, W_new, Xt_new = (
+                fused_eval_assemble_bs(
+                    cm.K4, cm.cam_t, cm.uv_t, cm.inv_sigma_t, cm.valid_t,
+                    cm.fixed_t, R_new, t_new,
+                    jnp.concatenate([dphi, dt], axis=1), Xt,
+                    W.reshape(18, *cm.cam_t.shape), vinv6, g_p, cm.pt_valid,
+                    robust=config.robust,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            )
+            new_cost = psum(new_cost)
+            red_new = psum(red_new)
         else:
             U, g_c, V = _damp_blocks_cm(cm, red, Vu, lam)
             V_inv = _sym3_inv_cm(V)
@@ -567,16 +620,16 @@ def _make_step(cm: _CM, config: LMConfig, psum=lambda x: x):
             xg = _gather_cams(dc, cm)
             y = _w_reduce(W, xg)
             dp = -_mat3vec_cm(V_inv, g_p + y)  # [3, L]
-        dp = jnp.where(cm.pt_valid[None, :], dp, 0.0)
+            dp = jnp.where(cm.pt_valid[None, :], dp, 0.0)
 
-        dphi = jnp.where(cm.cam_fixed[:, None], 0.0, dc[:, :3])
-        dt = jnp.where(cm.cam_fixed[:, None], 0.0, dc[:, 3:])
-        R_new = aa_to_rotmat(dphi) @ R
-        t_new = t + dt
-        Xt_new = Xt + dp
+            dphi = jnp.where(cm.cam_fixed[:, None], 0.0, dc[:, :3])
+            dt = jnp.where(cm.cam_fixed[:, None], 0.0, dc[:, 3:])
+            R_new = aa_to_rotmat(dphi) @ R
+            t_new = t + dt
+            Xt_new = Xt + dp
 
-        new_cost, red_new, Vu_new, gp_new, W_new = eval_assemble(
-            R_new, t_new, Xt_new)
+            new_cost, red_new, Vu_new, gp_new, W_new = eval_assemble(
+                R_new, t_new, Xt_new)
         accept = (new_cost < cost) & jnp.isfinite(new_cost)
         sel = lambda a, b2: jnp.where(accept & ~done, a, b2)
         rel = (cost - new_cost) / jnp.maximum(cost, 1e-20)

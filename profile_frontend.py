@@ -94,8 +94,14 @@ def main():
         ]),
         "detect_level0": jax.jit(lambda im: F._detect_level(im, allocs[0], cfg)),
     }
+    # nms_topk is fed precomputed Harris response maps (its real pipeline
+    # input) so the stage row measures NMS+top-k alone with stable
+    # semantics across rounds (round-3 advisor finding); the other stages
+    # take the raw image
+    hmaps = [stages["harris"](im) for im in imgs]
     for name, fn in stages.items():
-        t = _sustained(fn, [(im,) for im in imgs])
+        inputs = hmaps if name == "nms_topk" else imgs
+        t = _sustained(fn, [(im,) for im in inputs])
         print(json.dumps({"metric": f"frontend_stage_{name}_ms",
                           "value": round(t * 1e3, 2)}), flush=True)
 

@@ -117,3 +117,62 @@ def test_windowed_ba_sharded_matches_vmap():
     err_after = np.linalg.norm(m2.kf_pose[:12] - sc.extr_gt, axis=1)
     err_init = np.linalg.norm(sc.extr_init - sc.extr_gt, axis=1)
     assert err_after.mean() < err_init.mean() * 0.5
+
+
+def test_windowed_halo_psum_traffic_scales_with_boundary_landmarks():
+    """docs/DISTRIBUTED.md claims the window layer's ONLY cross-device
+    traffic is the landmark halo exchange — bytes ∝ distinct global
+    landmarks, independent of observation count (round-3 VERDICT #7).
+    Asserted on the compiled HLO of the sharded solve: all-reduce bytes
+    equal exactly 16 B per global landmark (position-sum [G,3] f32 +
+    count [G] f32), regardless of the padded observation capacity, and the
+    module contains no other collective ops."""
+    import re
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from bundleadjustment_tpu.parallel.windows import (
+        WINDOW_AXIS,
+        make_sharded_halo_fn,
+    )
+    from bundleadjustment_tpu.solvers import BAProblem, LMConfig
+
+    from test_scaling import _allreduce_bytes
+
+    mesh = Mesh(np.array(jax.devices()[:4]), (WINDOW_AXIS,))
+    cfg = LMConfig(max_iters=2, solver="dense")
+    W, Kp, Lp = 4, 8, 64
+
+    def compiled_text(n_obs, n_global):
+        probs = BAProblem(
+            K4=jnp.broadcast_to(
+                jnp.asarray([300.0, 300.0, 160.0, 120.0]), (W, 4)),
+            cam_idx=jnp.zeros((W, n_obs), jnp.int32),
+            pt_idx=jnp.zeros((W, n_obs), jnp.int32),
+            uv=jnp.zeros((W, n_obs, 2), jnp.float32),
+            sigma2=jnp.ones((W, n_obs), jnp.float32),
+            valid=jnp.zeros((W, n_obs), bool),
+            cam_fixed=jnp.zeros((W, Kp), bool),
+            pt_fixed=jnp.zeros((W, Lp), bool),
+        )
+        cams = jnp.zeros((W, Kp, 6), jnp.float32)
+        pts = jnp.zeros((W, Lp, 3), jnp.float32)
+        gids = jnp.zeros((W, Lp), jnp.int32)
+        fn = make_sharded_halo_fn(cfg, n_global, mesh)
+        return jax.jit(fn).lower(probs, cams, pts, gids).compile().as_text()
+
+    t_small = compiled_text(256, 128)
+    t_more_obs = compiled_text(1024, 128)
+    t_more_gids = compiled_text(256, 256)
+
+    assert _allreduce_bytes(t_small) == 16 * 128
+    assert _allreduce_bytes(t_more_obs) == 16 * 128  # obs-independent
+    assert _allreduce_bytes(t_more_gids) == 16 * 256  # ∝ boundary landmarks
+
+    # the halo psum is the ONLY collective in the sharded window solve
+    for other in ("all-gather", "collective-permute", "reduce-scatter",
+                  "all-to-all"):
+        assert not re.search(rf"\b{other}\(", t_small), other
