@@ -118,10 +118,10 @@ def _run_bench_large():
         proc = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(
                 os.path.abspath(__file__)), "bench_large.py")],
-            capture_output=True, text=True, timeout=540,
+            capture_output=True, text=True, timeout=900,
         )
     except subprocess.TimeoutExpired:
-        print("bench_large.py timed out after 540s; omitting large-scale "
+        print("bench_large.py timed out after 900s; omitting large-scale "
               "fields", file=sys.stderr)
         return {}
     for line in reversed(proc.stdout.strip().splitlines()):
@@ -181,7 +181,9 @@ def main():
                                    iters=it)
         return it / iters_s
 
-    fit = measure_marginal(_t, iter_counts=(5, 10, 20, 40), repeats=3)
+    # span >=130 iterations: at ~0.3 ms/iter the slope signal must clear
+    # the relay's few-ms run-to-run noise (stderr is reported either way)
+    fit = measure_marginal(_t, iter_counts=(16, 48, 96, 144), repeats=3)
     marginal_iter_s = fit["iters_per_s"]
     roof_marginal = roofline(marginal_iter_s, N_CAMS, N_PTS, MAX_OBS,
                              default_dev, solver="dense")
@@ -192,7 +194,14 @@ def main():
         cpu = None
     if cpu is not None and cpu != default_dev:
         # CPU baseline uses the flat/segment_sum layout — the faster of the
-        # two engines on CPU, so the speedup is engine-vs-engine honest
+        # two engines on CPU, so the speedup is engine-vs-engine honest.
+        # Persistent cache OFF for this part: XLA:CPU AOT reloads emit
+        # SIGILL-class feature-mismatch warnings even same-host (see
+        # utils/cache.py) and would dirty the bench tail.
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+        except Exception:
+            pass
         iters_cpu, _, _ = time_solve(cpu, sc, dense, repeats=1, layout="flat")
     else:
         iters_cpu = iters_dev

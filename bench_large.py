@@ -83,7 +83,7 @@ def main():
         run_it()
         return time.perf_counter() - t0
 
-    fit = measure_marginal(_t, iter_counts=(3, 5, 10, 20), repeats=3)
+    fit = measure_marginal(_t, iter_counts=(5, 15, 40), repeats=3)
     marginal_iter_s = fit["iters_per_s"]
     roof_marginal = roofline(marginal_iter_s, N_CAMS, N_PTS, MAX_OBS,
                              jax.devices()[0], solver="dense")

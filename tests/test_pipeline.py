@@ -125,6 +125,17 @@ def test_fused_tracking_matches_split_dispatches():
     # corner ranks and amplify through the nonlinear pipeline
     np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_s),
                                atol=5e-4)
+    # tighter guards underneath the loosened trajectory bound (round-3
+    # advisor): systematic drift cannot hide — the discrete outputs
+    # (keyframe set, map size) must agree exactly, and the KEYFRAME poses
+    # (BA-refined, insensitive to near-tie corner ranks) much closer
+    assert pipe_f.stats["keyframes"] == pipe_s.stats["keyframes"]
+    assert len(pipe_f.map.active_points()) == len(pipe_s.map.active_points())
+    kf_f = np.asarray([m for r, m in zip(pipe_f.trajectory, m_f)
+                       if r.is_keyframe])
+    kf_s = np.asarray([m for r, m in zip(pipe_s.trajectory, m_s)
+                       if r.is_keyframe])
+    np.testing.assert_allclose(kf_f, kf_s, atol=5e-5)
 
 
 def test_batched_tracking_matches_per_frame():
