@@ -130,10 +130,15 @@ def _trajectory(kind, n_frames, motion_step, rot_step, rng):
     - rotation: rotation-dominant pan with tiny translation (hard: weak
                 parallax, exercises E/H degeneracy handling)
     - handheld: forward plus smoothed random-walk rotation+translation jitter
+    - sweep:    oscillating side-to-side translation with jitter (the TUM
+                fr1/xyz regime: repeated revisits of the same view — the
+                long-sequence case where keyframe redundancy culling,
+                SfMHelper.cpp:1005-1077, actually fires, and re-observing
+                old landmarks bounds drift)
     """
     Rs, Cs = [], []
     target = np.array([0.0, 0.0, 5.0])
-    if kind == "handheld":
+    if kind in ("handheld", "sweep"):
         jit_t = _smooth_walk(rng, n_frames, motion_step * 0.25)
         jit_r = _smooth_walk(rng, n_frames, rot_step * 0.6)
     for i in range(n_frames):
@@ -153,6 +158,17 @@ def _trajectory(kind, n_frames, motion_step, rot_step, rng):
         elif kind == "handheld":
             C = np.array([motion_step * i, 0.0, 0.01 * i]) + jit_t[i]
             rvec = np.array([0.0, 0.4 * rot_step * i, 0.0]) + jit_r[i]
+            R = _aa_to_R(rvec)
+        elif kind == "sweep":
+            # period ~160 frames; amplitude keeps the per-frame step at
+            # ~motion_step at the sweep's center
+            P = min(160.0, max(n_frames / 2.0, 20.0))
+            amp = motion_step * P / (2.0 * np.pi)
+            ph = 2.0 * np.pi * i / P
+            C = np.array([amp * np.sin(ph), 0.3 * amp * np.sin(2.1 * ph),
+                          0.15 * amp * (1 - np.cos(ph))]) + jit_t[i]
+            rvec = np.array([0.0, 0.5 * rot_step * np.sin(ph) * P / 6.0, 0.0]
+                            ) + jit_r[i]
             R = _aa_to_R(rvec)
         else:
             raise ValueError(f"unknown trajectory {kind!r}")
@@ -252,6 +268,10 @@ def render_layered_scene(
             # around the orbit target [0, 0, 5] so the "object" stays in
             # view for the whole revolution
             x0 = rng.uniform(-2.0, 2.0 - w)
+        elif trajectory == "sweep":
+            # oscillating trajectory stays near the origin: spread the
+            # panels over the swept view cone, no along-track shift
+            x0 = rng.uniform(-3.0, 3.0 - w) + z / 3.0
         else:
             along = (k / max(n_layers - 1, 1)) * motion_step * n_frames
             # the z/2.0 term compensates the protocols' slow rightward pan

@@ -1639,7 +1639,12 @@ class BundleAdjustmentPipeline:
         using its stored 2D-3D associations."""
         for _ in range(self.cfg.final_ba_outer):
             self.global_ba(self.cfg.final_ba_iters)
+        # two rounds: the second guided re-association projects the map at
+        # the ROUND-1-refined poses, catching landmarks the noisy
+        # tracking-time pose pushed outside the search window
         self._refine_trajectory()
+        if self.cfg.refine_guided:
+            self._refine_trajectory()
 
     def _refine_trajectory(self):
         m = self.map

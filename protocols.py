@@ -152,6 +152,19 @@ def run_protocol(frames, K4, cfg, width, height, warmup=10):
     return pipe, res, fps, wall, cc.count
 
 
+def keyframe_ate(pipe, frames):
+    """ATE over keyframe poses only (isolates tracked-frame pose noise
+    from map quality — round-3 VERDICT #6 diagnostic)."""
+    from bundleadjustment_tpu.metrics import evaluate_ate
+
+    ts, mats = pipe.trajectory_cam_to_world()
+    kf = np.array([r.is_keyframe for r in pipe.trajectory])
+    gt_ts = np.array([f["timestamp"] for f in frames])
+    gt_xyz = np.array([f["gt_cam_to_world"][:3, 3] for f in frames])
+    res = evaluate_ate(ts[kf], mats[kf][:, :3, 3], gt_ts, gt_xyz)
+    return res["rmse"]
+
+
 def gt_cloud(frames, K4, stride=4, px_stride=8):
     """Ground-truth point cloud from GT depth + GT poses (the synthetic
     stand-in for the Replica GT mesh)."""
@@ -216,6 +229,7 @@ def config2():
     return {
         "metric": "config2_long_sequence",
         "ate_rmse_m": round(res["rmse"], 4),
+        "keyframe_ate_m": round(keyframe_ate(pipe, frames), 4),
         "steady_fps": round(fps["steady"], 2),
         "device_only_fps": round(fps["device_only"], 2),
         "relay_floor_ms": round(fps["relay_floor_ms"], 2),
@@ -370,7 +384,7 @@ def config6_long_sequence():
 
     frames, K4 = render_layered_scene(
         n_frames=500, width=640, height=480, fx=525.0, fy=525.0,
-        trajectory="handheld", motion_step=0.04, rot_step=0.01, seed=16,
+        trajectory="sweep", motion_step=0.04, rot_step=0.01, seed=16,
     )
     cfg = PipelineConfig(
         init_type="gtdepth", estimation="ba", local_ba=True,
@@ -405,9 +419,14 @@ def config6_long_sequence():
     gt_xyz = np.array([f["gt_cam_to_world"][:3, 3] for f in frames])
     res = evaluate_ate(ts, mats[:, :3, 3], gt_ts, gt_xyz)
     active_kfs = len(pipe.map.active_keyframes())
+    path_len = float(np.linalg.norm(np.diff(gt_xyz, axis=0), axis=1).sum())
     return {
         "metric": "config6_long_sequence_500f",
         "ate_rmse_m": round(res["rmse"], 4),
+        "keyframe_ate_m": round(keyframe_ate(pipe, frames), 4),
+        "gt_path_length_m": round(path_len, 2),
+        "ate_pct_of_path": round(100.0 * res["rmse"] / max(path_len, 1e-9),
+                                 3),
         "steady_fps": round(1.0 / med, 2) if med == med else None,
         "device_only_fps": (round(1.0 / max(med - relay_s, 1e-4), 2)
                             if med == med else None),
