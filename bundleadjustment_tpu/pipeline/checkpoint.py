@@ -6,6 +6,12 @@ serializes the full pipeline state — keyframe records (poses, keypoints,
 descriptors, observation links), landmarks, trajectory, and tracking state —
 to a single compressed .npz, and restores a `BundleAdjustmentPipeline` to
 continue processing mid-sequence.
+
+Per-tracked-frame full keypoint sets (TrackRecord.feats, used by the
+finalize-time GUIDED refinement) are deliberately NOT checkpointed — they
+would dominate the file size; after a resume, finalize falls back to the
+stored 2D-3D association lists for frames tracked before the checkpoint
+and uses guided re-association only for frames tracked after it.
 """
 
 from __future__ import annotations

@@ -77,7 +77,12 @@ class CompileWarmer:
         import jax.numpy as jnp
 
         H, W = pipe.height, pipe.width
-        M = pipe.map.max_kp
+        # keypoint capacity of the DETECTOR output (sum of per-level
+        # allocations), not the map store's padded max_kp — the tracking
+        # jits key on the detector shape
+        from bundleadjustment_tpu.ops.features import _level_allocations
+
+        M = sum(_level_allocations(pipe.feat_cfg))
         Dw = pipe.map.desc_words
         gray = jnp.zeros((H, W), jnp.float32)
         desc = jnp.zeros((M, Dw), jnp.uint32)
@@ -158,14 +163,18 @@ class CompileWarmer:
             for P in (64, 128, 256):
                 tasks.append((f"tri_nb{NB}x{P}", make_tri_nb(NB, P)))
 
-        # 5. neighborhood batched matching (search_in_neighbors)
+        # 5. neighborhood batched matching (search_in_neighbors): the
+        # b-side uses the MAP's padded per-frame capacity, the a-side the
+        # detector capacity (mirrors _search_in_neighbors exactly)
         from bundleadjustment_tpu.ops.matching import match_descriptors_batch
+
+        Mk = pipe.map.max_kp
 
         def make_match_nb(NB):
             def t():
                 match_descriptors_batch(
-                    desc, jnp.zeros((NB, M, Dw), jnp.uint32),
-                    valid_a=valid, valids_b=jnp.zeros((NB, M), bool),
+                    desc, jnp.zeros((NB, Mk, Dw), jnp.uint32),
+                    valid_a=valid, valids_b=jnp.zeros((NB, Mk), bool),
                     metric="hamming", ratio=cfg.match_ratio,
                     max_dist=cfg.search_max_dist)
             return t
