@@ -41,7 +41,9 @@ from bundleadjustment_tpu.ops.matching import (
 from bundleadjustment_tpu.pipeline.config import PipelineConfig
 from bundleadjustment_tpu.solvers import BAProblem, LMConfig, ba_solve
 from bundleadjustment_tpu.solvers.lm import MotionOnlyConfig, motion_only_ba
-from bundleadjustment_tpu.solvers.residuals import prune_outliers, cams_to_Rt
+from bundleadjustment_tpu.solvers.residuals import (
+    cams_to_Rt, prune_outliers, prune_outliers_cams,
+)
 from bundleadjustment_tpu.utils.profiling import PhaseTimer
 
 
@@ -665,10 +667,11 @@ class BundleAdjustmentPipeline:
             pcg_iters=self.cfg.pcg_iters,
         )
         cams, pts, info = ba_solve(prob, jnp.asarray(snap.extr), jnp.asarray(snap.points), cfg)
-        # post-solve chi2 pruning (reference Optimizer.cpp:270-277)
-        R, t = cams_to_Rt(cams)
-        new_valid = prune_outliers(prob, R, t, pts)
-        self.map.writeback(snap, np.asarray(cams), np.asarray(pts), np.asarray(new_valid))
+        # post-solve chi2 pruning (reference Optimizer.cpp:270-277) as ONE
+        # jitted dispatch; then one batched fetch
+        new_valid = prune_outliers_cams(prob, cams, pts)
+        cams_h, pts_h, nv_h = jax.device_get((cams, pts, new_valid))
+        self.map.writeback(snap, cams_h, pts_h, nv_h)
         return info
 
     def _solve_ba_dense(self, snap, max_iters):
@@ -706,10 +709,9 @@ class BundleAdjustmentPipeline:
             cam_fixed=jnp.asarray(snap.cam_fixed),
             pt_fixed=jnp.zeros(snap.points.shape[0], bool),
         )
-        R, t = cams_to_Rt(cams)
-        new_valid = prune_outliers(prob, R, t, pts)
-        self.map.writeback(snap, np.asarray(cams), np.asarray(pts),
-                           np.asarray(new_valid))
+        new_valid = prune_outliers_cams(prob, cams, pts)
+        cams_h, pts_h, nv_h = jax.device_get((cams, pts, new_valid))
+        self.map.writeback(snap, cams_h, pts_h, nv_h)
         return info
 
     def global_ba(self, max_iters=None):

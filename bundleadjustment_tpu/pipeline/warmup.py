@@ -95,6 +95,16 @@ class CompileWarmer:
 
         tasks = []
 
+        # 0. bare detection — the FIRST dispatch of any run (reference
+        # frame, `driver._detect`) and the single largest critical-path
+        # compile (~200 s for the 8-level frontend through the relay,
+        # round-4 phase attribution).  Started first so a caller that
+        # overlaps warm-up with dataset loading/rendering hides part of it.
+        from bundleadjustment_tpu.ops.features import detect_and_describe
+
+        tasks.append(("detect", lambda: detect_and_describe(
+            gray, pipe.feat_cfg)))
+
         # 1. frontend: fused detect+match (first frames / non-fused path)
         def t_frontend():
             drv._frontend_jit(
@@ -209,9 +219,7 @@ class CompileWarmer:
 
         # 7. flat BA (small problems under the auto threshold) + the
         # post-solve chi2 prune that runs in the flat layout either way
-        from bundleadjustment_tpu.solvers.residuals import (
-            cams_to_Rt, prune_outliers,
-        )
+        from bundleadjustment_tpu.solvers.residuals import prune_outliers_cams
 
         def make_flat(K, L, N, iters):
             def t():
@@ -231,8 +239,7 @@ class CompileWarmer:
                     lmcfg = LMConfig(max_iters=iters, solver=cfg.ba_solver,
                                      pcg_iters=cfg.pcg_iters)
                     cams, pts, _ = ba_solve(prob, cams, pts, lmcfg)
-                R, t_ = cams_to_Rt(cams)
-                prune_outliers(prob, R, t_, pts)
+                prune_outliers_cams(prob, cams, pts)
             return t
         for K, L, N in ((8, 512, 2048), (8, 1024, 4096), (8, 2048, 8192),
                         (16, 1024, 4096), (16, 2048, 8192)):

@@ -116,12 +116,15 @@ def run_protocol(frames, K4, cfg, width, height, warmup=10):
     from bundleadjustment_tpu.pipeline import BundleAdjustmentPipeline
 
     relay_s = measure_relay_floor()
-    ds = make_dataset(frames)
     with CompileCounter() as cc:
+        # construct + start warming BEFORE building the dataset: the
+        # host-side frame conversion overlaps the first (critical-path)
+        # frontend compiles
         pipe = BundleAdjustmentPipeline(cfg, K4, width, height)
         from bundleadjustment_tpu.pipeline.warmup import CompileWarmer
 
         CompileWarmer(pipe).start()
+        ds = make_dataset(frames)
         t_start = time.perf_counter()
         timings = []
         statuses = pipe.process_frames(ds, timings=timings)
@@ -210,6 +213,8 @@ def config1(track_batch=1):
         "frames": 50,
         "keyframes": pipe.stats["keyframes"],
         "landmarks": int(len(pipe.map.active_points())),
+        "phase_times": {k: {kk: round(vv, 2) for kk, vv in v.items()}
+                        for k, v in pipe.timers.report().items()},
     }
 
 
