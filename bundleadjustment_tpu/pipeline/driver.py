@@ -994,7 +994,9 @@ class BundleAdjustmentPipeline:
         # a fresh triangulation per distinct match count (a compile storm on
         # remote-compile TPUs — one per neighbor per keyframe)
         n_real = len(pair_a)
-        cap = _pow2(n_real, 32)
+        # min bucket 128: distinct buckets are ~46 s relay compiles each;
+        # padding waste at this size is microseconds of device time
+        cap = _pow2(n_real, 128)
         xa = np.zeros((cap, 2), np.float32)
         xb = np.zeros((cap, 2), np.float32)
         sa = np.ones(cap, np.float32)
@@ -1033,8 +1035,8 @@ class BundleAdjustmentPipeline:
                 if len(j[1]) and self._tri_precondition_ok(kf, j[0])]
         if not jobs:
             return 0
-        P = _pow2(max(len(j[1]) for j in jobs), 32)
-        NB = _pow2(len(jobs), 1)
+        P = _pow2(max(len(j[1]) for j in jobs), 128)
+        NB = _pow2(len(jobs), 4)
         extr_b = np.zeros((NB, 6), np.float32)
         extr_b[:, :] = m.kf_pose[kf]  # dummy rows: degenerate, masked off
         xa = np.zeros((NB, P, 2), np.float32)
@@ -1152,7 +1154,7 @@ class BundleAdjustmentPipeline:
         from bundleadjustment_tpu.ops.matching import match_descriptors_batch
 
         n_nb = len(neighborhood)
-        nb_bucket = _pow2(n_nb, 4)
+        nb_bucket = _pow2(n_nb, 8)
         descs_b = np.zeros((nb_bucket, m.max_kp, m.desc_words), np.uint32)
         valids_b = np.zeros((nb_bucket, m.max_kp), bool)
         for bi, nb in enumerate(neighborhood):

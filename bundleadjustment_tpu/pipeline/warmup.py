@@ -157,6 +157,8 @@ class CompileWarmer:
             return t
         for cap in (128, 256, 512, 1024):
             tasks.append((f"tri_{cap}", make_tri(cap)))
+        # neighbor-batch matcher buckets follow the raised minimums in
+        # driver._search_in_neighbors
 
         # 4. neighborhood-batched triangulation (keyframes)
         def make_tri_nb(NB, P):
@@ -169,8 +171,8 @@ class CompileWarmer:
                     jnp.ones((NB, P), jnp.float32),
                     jnp.zeros((NB, P), bool))
             return t
-        for NB in (1, 2, 4, 8):
-            for P in (64, 128, 256):
+        for NB in (4, 8, 16):
+            for P in (128, 256, 512):
                 tasks.append((f"tri_nb{NB}x{P}", make_tri_nb(NB, P)))
 
         # 5. neighborhood batched matching (search_in_neighbors): the
@@ -188,7 +190,7 @@ class CompileWarmer:
                     metric="hamming", ratio=cfg.match_ratio,
                     max_dist=cfg.search_max_dist)
             return t
-        for NB in (4, 8, 16):
+        for NB in (8, 16):
             tasks.append((f"match_nb{NB}", make_match_nb(NB)))
 
         # 6. dense-BA bucket ladder (local/global/final solves)

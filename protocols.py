@@ -106,7 +106,21 @@ class CompileCounter(logging.Filter):
         return False
 
 
-def run_protocol(frames, K4, cfg, width, height, warmup=10):
+def prewarm(cfg, K4, width, height):
+    """Construct the pipeline and start the background compile warm-up
+    BEFORE the (tens of seconds of) host-side scene rendering — the
+    critical-path frontend compile (~190 s through the relay, BASELINE.md
+    round 4) overlaps it.  Returns the pipe; pass it to run_protocol."""
+    from bundleadjustment_tpu.pipeline import BundleAdjustmentPipeline
+    from bundleadjustment_tpu.pipeline.warmup import CompileWarmer
+
+    pipe = BundleAdjustmentPipeline(cfg, np.asarray(K4, np.float32),
+                                    width, height)
+    CompileWarmer(pipe).start()
+    return pipe
+
+
+def run_protocol(frames, K4, cfg, width, height, warmup=10, pipe=None):
     """Run the pipeline frame by frame with per-frame timing.
 
     Returns (pipe, ate_result, fps_dict, wall_s, n_compiles).  fps_dict
@@ -117,13 +131,8 @@ def run_protocol(frames, K4, cfg, width, height, warmup=10):
 
     relay_s = measure_relay_floor()
     with CompileCounter() as cc:
-        # construct + start warming BEFORE building the dataset: the
-        # host-side frame conversion overlaps the first (critical-path)
-        # frontend compiles
-        pipe = BundleAdjustmentPipeline(cfg, K4, width, height)
-        from bundleadjustment_tpu.pipeline.warmup import CompileWarmer
-
-        CompileWarmer(pipe).start()
+        if pipe is None:
+            pipe = prewarm(cfg, K4, width, height)
         ds = make_dataset(frames)
         t_start = time.perf_counter()
         timings = []
@@ -191,15 +200,21 @@ def config1(track_batch=1):
     from bundleadjustment_tpu.data.synthetic import render_layered_scene
     from bundleadjustment_tpu.pipeline import PipelineConfig
 
-    frames, K4 = render_layered_scene(
-        n_frames=50, width=640, height=480, fx=525.0, fy=525.0,
-        trajectory="forward", motion_step=0.03, seed=11,
-    )
     cfg = PipelineConfig(
         init_type="gtdepth", estimation="ba", local_ba=False,
         n_features=1000, n_levels=8, track_batch=track_batch,
     )
-    pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, 640, 480)
+    # K4 convention of render_layered_scene: cx, cy = (size-1)/2
+    K4 = np.array([525.0, 525.0, (640 - 1) / 2.0, (480 - 1) / 2.0],
+                  np.float32)
+    pipe = prewarm(cfg, K4, 640, 480)  # overlap compiles with rendering
+    frames, K4r = render_layered_scene(
+        n_frames=50, width=640, height=480, fx=525.0, fy=525.0,
+        trajectory="forward", motion_step=0.03, seed=11,
+    )
+    assert np.allclose(K4, K4r)
+    pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, 640, 480,
+                                               pipe=pipe)
     return {
         "metric": "config1_fr1_shaped" + (
             f"_tb{track_batch}" if track_batch > 1 else ""
