@@ -195,8 +195,15 @@ def _resize_mat(dst, src):
     """[dst, src] linear-resize weight matrix, identical to what
     `jax.image.resize(..., "linear")` applies along one axis (computed once
     per shape pair by resizing an identity; lru-cached host-side — bounded
-    and thread-safe, unlike the former hand-rolled dict)."""
-    with jax.ensure_compile_time_eval():
+    and thread-safe, unlike the former hand-rolled dict).
+
+    Pinned to the CPU backend: this runs EAGERLY at trace time, and on the
+    default (TPU) device each distinct shape pair triggered a full remote
+    compile of the gather-lowered resize — ~500 s of .lower() wall for the
+    8-level pyramid through the compile relay (round-4 diagnosis: the
+    entire "~190 s frontend compile" critical path was THIS, not XLA)."""
+    cpu = jax.devices("cpu")[0]
+    with jax.ensure_compile_time_eval(), jax.default_device(cpu):
         eye = jnp.eye(src, dtype=jnp.float32)
         return np.asarray(jax.image.resize(eye, (dst, src), "linear"))
 

@@ -1759,13 +1759,22 @@ class BundleAdjustmentPipeline:
             # are chi2 inliers at the refined pose — an absolute floor alone
             # lets a wrong pose win by fitting 10 of N stale points, (b) it
             # lowers the robust cost on the same constraints, and (c) the
-            # camera center moves less than the displacement guard
+            # camera center moves less than the displacement guard — UNLESS
+            # the evidence is overwhelming: with a guided re-association
+            # against the post-final-BA map, a pose supported by >=80% chi2
+            # inliers over >=3x min_track constraints is trustworthy at any
+            # displacement (round-4 diagnosis: tracked tails drift by many
+            # frame-steps relative to the BA-refined keyframes, and the
+            # guard vetoed exactly the large corrections that fix them)
             n_constr = int(V[b].sum())
-            if inl[b].sum() < max(self.cfg.min_track_points, 0.5 * n_constr):
+            n_inl = int(inl[b].sum())
+            if n_inl < max(self.cfg.min_track_points, 0.5 * n_constr):
                 continue
             c_old = np_se3.rt6_to_mat44(np_se3.rt6_inverse(rec.extr))[:3, 3]
             c_new = np_se3.rt6_to_mat44(np_se3.rt6_inverse(rt[b]))[:3, 3]
-            if np.linalg.norm(c_new - c_old) > guard:
+            strong = (n_inl >= 3 * self.cfg.min_track_points
+                      and n_inl >= 0.8 * n_constr)
+            if np.linalg.norm(c_new - c_old) > guard and not strong:
                 continue
             if huber_cost(rt[b], b) < huber_cost(rec.extr, b):
                 rec.extr = rt[b]
