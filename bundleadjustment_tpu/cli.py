@@ -70,6 +70,17 @@ def build_parser():
                    help="BA data layout: auto (dense landmark-major above a "
                         "problem-size threshold), flat observation table, or "
                         "the TPU-optimized dense landmark-major layout")
+    p.add_argument("--global-ba", choices=["single", "windowed", "sharded"],
+                   default="single", dest="global_ba",
+                   help="global-BA execution mode: single-device "
+                        "LM/DENSE_SCHUR, keyframe-window sharding + pose-"
+                        "graph stitch (shard_map over the device mesh), or "
+                        "landmark-sharded dense Schur with psummed QQ^T "
+                        "partials")
+    p.add_argument("--depth-landmarks", action="store_true", default=False,
+                   help="RGB-D landmark seeding: backproject landmark-free "
+                        "keypoints through each keyframe's depth map "
+                        "(builds ~10k-landmark maps; see PipelineConfig)")
     p.add_argument("--predetect", action="store_true", default=False,
                    help="run the data-parallel batched frontend over all "
                         "frames up front (frame axis sharded over all local "
@@ -140,6 +151,8 @@ def main(argv=None):
         n_levels=args.n_levels,
         ba_solver=args.ba_solver,
         ba_layout=args.ba_layout,
+        global_ba_mode=args.global_ba,
+        depth_landmarks=args.depth_landmarks,
         matcher=args.matcher,
         fused_tracking=not args.no_fused_tracking,
         track_batch=args.track_batch,

@@ -103,6 +103,24 @@ class PipelineConfig:
     ba_layout_auto_min_obs: int = 2048
     ba_max_obs_per_pt: int = 16
     pcg_iters: int = 60
+    global_ba_mode: str = "single"  # "single" | "windowed" | "sharded":
+    #   how global BA solves (per-keyframe when local_ba=False, and the final
+    #   3-round solve in finalize) are executed.  "single": one-device
+    #   LM/DENSE_SCHUR (reference Optimizer.cpp:93-160 analogue).
+    #   "windowed": overlapping keyframe windows vmapped/shard_mapped over
+    #   the device mesh + landmark halo psum + pose-graph stitch
+    #   (parallel/windows.py).  "sharded": landmark-sharded dense engine with
+    #   psummed QQ^T Schur partials (parallel/sharded_dense_ba.py).  Both
+    #   distributed modes use all local devices unless a mesh is injected
+    #   via `pipeline.global_ba_mesh`.
+
+    # RGB-D landmark seeding at keyframes: backproject keypoints that have no
+    # landmark through the frame's depth map (the reference does this once,
+    # for the bootstrap reference frame — Initializer.cpp:36-126; RGB-D SLAM
+    # practice extends it to every keyframe, which is how BASELINE config-4
+    # scale ~10k-landmark maps arise from the pipeline itself)
+    depth_landmarks: bool = False
+    depth_landmarks_max: int = 2000  # cap of new seeds per keyframe
 
     # culling
     cull_point_window: int = 4  # SfMHelper.cpp:974-1003

@@ -346,6 +346,7 @@ class BundleAdjustmentPipeline:
         self.stats = {"frames": 0, "keyframes": 0, "tracking_failures": 0}
         self.timers = PhaseTimer()
         self._prev_track = None  # (xyz [M,3], trackable [M]) of last frame
+        self._pending_seeds: list[int] = []  # 1-obs depth-seeded landmarks
 
     # ------------------------------------------------------------------
     # device helpers
@@ -714,12 +715,112 @@ class BundleAdjustmentPipeline:
         self.map.writeback(snap, cams_h, pts_h, nv_h)
         return info
 
+    def _ba_mesh(self, axis):
+        """Device mesh for distributed global BA: the injected
+        `self.global_ba_mesh` when set (tests / multi-host drivers), else all
+        local devices; None when only one device is present (the windowed
+        path then uses its plain vmap form)."""
+        m = getattr(self, "global_ba_mesh", None)
+        if m is not None:
+            if axis in m.axis_names:
+                return m
+            from jax.sharding import Mesh
+
+            return Mesh(m.devices, (axis,))
+        devs = jax.devices()
+        if len(devs) == 1:
+            return None
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(devs), (axis,))
+
     def global_ba(self, max_iters=None):
+        """Global BA over all active keyframes, routed by
+        cfg.global_ba_mode (reference: the Ceres global solve is the
+        pipeline's solver, Optimizer.cpp:93-160 invoked from
+        BundleAdjustment.cpp:196-207,228-230 — here the distributed
+        windowed/sharded engines are first-class pipeline solvers too)."""
         kfs = self.map.active_keyframes().tolist()
         if len(kfs) < 2:
             return None
+        mode = self.cfg.global_ba_mode
+        if mode == "windowed" and len(kfs) >= 3:
+            return self._global_ba_windowed(max_iters or self.cfg.kf_ba_iters)
         snap = self.map.snapshot_problem(kfs, min_obs=2)
+        if mode == "sharded":
+            return self._solve_ba_sharded(snap,
+                                          max_iters or self.cfg.kf_ba_iters)
         return self._solve_ba(snap, max_iters or self.cfg.kf_ba_iters)
+
+    def _global_ba_windowed(self, max_iters):
+        """Window-sharded global BA + pose-graph stitch
+        (parallel/windows.py) as the pipeline's global solver."""
+        from bundleadjustment_tpu.parallel.windows import (
+            WINDOW_AXIS,
+            windowed_global_ba,
+        )
+
+        with self.timers.phase("bundle_adjust"):
+            cfg = LMConfig(max_iters=max_iters, solver=self.cfg.ba_solver,
+                           pcg_iters=self.cfg.pcg_iters)
+            return windowed_global_ba(
+                self.map, window=self.cfg.local_window,
+                stride=max(self.cfg.local_window // 2, 1),
+                config=cfg, mesh=self._ba_mesh(WINDOW_AXIS),
+            )
+
+    def _solve_ba_sharded(self, snap, max_iters):
+        """Landmark-sharded dense-engine solve over the device mesh
+        (parallel/sharded_dense_ba.py): per-shard QQ^T Schur partials are
+        psummed, everything landmark-side stays device-local."""
+        from jax.sharding import Mesh
+
+        from bundleadjustment_tpu.parallel.sharded_dense_ba import (
+            AXIS,
+            shard_dense_problem,
+            sharded_dense_ba_solve,
+        )
+
+        with self.timers.phase("bundle_adjust"):
+            mesh = self._ba_mesh(AXIS)
+            if mesh is None:
+                mesh = Mesh(np.array(jax.devices()[:1]), (AXIS,))
+            # max_obs: never silently drop a constraint — bucket the true
+            # per-landmark max to a power of two for stable jit shapes
+            counts = np.bincount(
+                np.asarray(snap.pt_idx)[np.asarray(snap.valid)],
+                minlength=snap.points.shape[0],
+            )
+            max_obs = _pow2(max(int(counts.max()) if counts.size else 1, 1),
+                            self.cfg.ba_max_obs_per_pt)
+            prob, pts_sh, shard_of, local_of = shard_dense_problem(
+                snap.K4, snap.cam_idx, snap.pt_idx, snap.uv, snap.sigma2,
+                snap.valid, snap.cam_fixed, snap.points,
+                mesh.devices.size, max_obs=max_obs,
+            )
+            cfg = LMConfig(max_iters=max_iters, solver=self.cfg.ba_solver,
+                           pcg_iters=self.cfg.pcg_iters)
+            cams, pts_sh_o, info = sharded_dense_ba_solve(
+                prob, jnp.asarray(snap.extr), pts_sh, cfg, mesh
+            )
+            pts_h = np.asarray(jax.device_get(pts_sh_o))[shard_of, local_of]
+            # chi2 prune + writeback in the flat layout (same post-solve
+            # semantics as the single-device engines)
+            prob_flat = BAProblem(
+                K4=jnp.asarray(snap.K4),
+                cam_idx=jnp.asarray(snap.cam_idx),
+                pt_idx=jnp.asarray(snap.pt_idx),
+                uv=jnp.asarray(snap.uv),
+                sigma2=jnp.asarray(snap.sigma2),
+                valid=jnp.asarray(snap.valid),
+                cam_fixed=jnp.asarray(snap.cam_fixed),
+                pt_fixed=jnp.zeros(snap.points.shape[0], bool),
+            )
+            pts_dev = jnp.asarray(pts_h)
+            new_valid = prune_outliers_cams(prob_flat, cams, pts_dev)
+            cams_h, nv_h = jax.device_get((cams, new_valid))
+            self.map.writeback(snap, cams_h, pts_h, nv_h)
+            return info
 
     def local_ba(self, center_kf, max_iters=None):
         """Window = center + best covisible; observers of window points enter
@@ -1077,6 +1178,145 @@ class BundleAdjustmentPipeline:
                 for i in stale[gate]:
                     m.add_observation(int(pt_now[i]), nb, int(pb[i]))
         return n
+
+    def _seed_depth_landmarks(self, slot, feats: FrameFeatures, depth):
+        """RGB-D landmark seeding: backproject the keyframe's landmark-free
+        keypoints through its depth map into new map points.
+
+        The reference does exactly this once, for the bootstrap reference
+        frame (`ba_project/src/ba/Initializer.cpp:36-126`: subpixel depth
+        sample, K^-1 deprojection, MapPoint per keypoint).  Extending it to
+        every keyframe — standard RGB-D SLAM practice — is how the pipeline
+        builds BASELINE-config-4-scale (~10k landmark) maps.  Seeds start
+        with one observation; they join BA once a later keyframe's
+        neighborhood search transfers a second, gated observation onto them.
+        """
+        m = self.map
+        M = len(feats.xy)
+        free = (m.kp_pt[slot, :M] < 0) & feats.valid[:M]
+        idx = np.nonzero(free)[0]
+        if len(idx) == 0:
+            return 0
+        d = sample_depth_bilinear(depth, feats.xy[idx])
+        ok = np.isfinite(d) & (d > 0)
+        idx, d = idx[ok], d[ok]
+        if len(idx) > self.cfg.depth_landmarks_max:
+            # keep the finest-octave (lowest sigma) keypoints: their depth
+            # samples and descriptors are the most localized
+            order = np.argsort(feats.sigma2[idx], kind="stable")
+            order = np.sort(order[: self.cfg.depth_landmarks_max])
+            idx, d = idx[order], d[order]
+        extr = m.kf_pose[slot]
+        pose = np_se3.rt6_inverse(extr)
+        K = self.K4
+        xc = np.stack([
+            (feats.xy[idx, 0] - K[2]) / K[0] * d,
+            (feats.xy[idx, 1] - K[3]) / K[1] * d,
+            d,
+        ], -1)
+        R = np_se3.aa_to_R(pose[:3])
+        xw = xc @ R.T + pose[3:]
+        img = getattr(self, "_cur_image", None)
+        cols = sample_color_bilinear(img, feats.xy[idx]) if img is not None else None
+        dist = np.linalg.norm(xc, axis=1)
+        n = 0
+        for i, kp in enumerate(idx):
+            # first_kf=-1: exempt from the recent-point culling window — a
+            # depth-seeded landmark carries direct metric evidence (unlike a
+            # speculative two-view triangulation) and legitimately waits
+            # several keyframes for its second, gated observation
+            pt = m.add_point(xw[i], desc=feats.desc[kp], first_kf=-1)
+            if m.add_observation(pt, slot, int(kp)) != 1:
+                m.erase_point(pt)
+                continue
+            m.set_point_scale_bounds(pt, float(dist[i]), feats.octave[kp],
+                                     self.cfg.scale_factor, self.cfg.n_levels)
+            if cols is not None:
+                m.pt_color[pt] = cols[i]
+            self._pending_seeds.append(int(pt))
+            n += 1
+        return n
+
+    def _densify_pending_seeds(self, slot, feats: FrameFeatures):
+        """Projection-guided second observations for depth-seeded landmarks.
+
+        Descriptor-only neighborhood matching rarely re-finds the weak
+        keypoints depth seeding targets (they already failed frame-to-frame
+        matching once), so 1-obs seeds would stay out of BA forever.
+        Instead, project every pending seed into the NEW keyframe and search
+        its landmark-free keypoints within a pixel window (ORB-SLAM2's
+        Fuse()-style guided search); acceptance runs the same
+        chi2/scale/view-dir cascade as every other observation transfer
+        (`_transfer_gate`).  Seeds that reach 2 observations leave the
+        pending set and participate in BA from the next solve on.
+        """
+        m = self.map
+        cfg = self.cfg
+        if not self._pending_seeds:
+            return 0
+        pend = np.asarray(self._pending_seeds, np.int64)
+        # drop culled/fused seeds and ones that already reached >=2 obs
+        alive = m.pt_active[pend] == 1
+        pend = pend[alive]
+        if len(pend):
+            pend = pend[m.point_obs_counts(pend) < 2]
+        if len(pend) == 0:
+            self._pending_seeds = []
+            return 0
+        M = len(feats.xy)
+        free_kp = np.nonzero((m.kp_pt[slot, :M] < 0) & feats.valid[:M])[0]
+        n_added = 0
+        still = []
+        if len(free_kp):
+            kp_xy = feats.xy[free_kp]
+            K = self.K4
+            extr = m.kf_pose[slot]
+            R = np_se3.aa_to_R(extr[:3])
+            for s in range(0, len(pend), 2048):  # chunk the [P, F] window
+                blk = pend[s:s + 2048]
+                X = m.pt_pos[blk].astype(np.float64)
+                xc = X @ R.T + extr[3:]
+                z = xc[:, 2]
+                zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+                u = K[0] * xc[:, 0] / zs + K[2]
+                v = K[1] * xc[:, 1] / zs + K[3]
+                vis = (z > 0.05) & (u >= 0) & (u < self.width) & \
+                      (v >= 0) & (v < self.height)
+                sv = np.nonzero(vis)[0]
+                if len(sv) == 0:
+                    continue
+                uv_pred = np.stack([u[sv], v[sv]], -1)
+                d2 = ((uv_pred[:, None, :] - kp_xy[None, :, :]) ** 2).sum(-1)
+                j = np.argmin(d2, axis=1)
+                near = d2[np.arange(len(sv)), j] < cfg.track_window_px ** 2
+                sv, j = sv[near], j[near]
+                if len(sv) == 0:
+                    continue
+                kp = free_kp[j]
+                dd = np.bitwise_count(np.bitwise_xor(
+                    m.pt_desc[blk[sv]].astype(np.uint32),
+                    feats.desc[kp].astype(np.uint32),
+                )).sum(-1)
+                okd = dd < cfg.search_max_dist
+                sv, kp = sv[okd], kp[okd]
+                if len(sv) == 0:
+                    continue
+                gate = self._transfer_gate(blk[sv], slot, kp)
+                sv, kp = sv[gate], kp[gate]
+                # several seeds can pick the same free keypoint: keep the
+                # first per keypoint (add_observation rejects the rest)
+                _, first = np.unique(kp, return_index=True)
+                for i in first:
+                    if m.add_observation(int(blk[sv[i]]), slot,
+                                         int(kp[i])) == 1:
+                        n_added += 1
+        # retain seeds that are still 1-obs for future keyframes
+        alive = m.pt_active[pend] == 1
+        pend = pend[alive]
+        if len(pend):
+            pend = pend[m.point_obs_counts(pend) < 2]
+        self._pending_seeds = [int(p) for p in pend]
+        return n_added
 
     # ------------------------------------------------------------------
     # neighborhood search & fusion  (reference SfMHelper.cpp:203-496)
@@ -1610,6 +1850,14 @@ class BundleAdjustmentPipeline:
                                     feats, matches,
                                     image=self._cur_image, image_side="b")
             m.update_covisibility(slot, cfg.covis_threshold)
+            # depth seeding runs BEFORE the neighborhood search so the
+            # search's gated transfers cover the new seeds too; pending
+            # (1-obs) seeds from earlier keyframes first get their guided
+            # projection chance at this frame's free keypoints
+            if cfg.depth_landmarks:
+                self._densify_pending_seeds(slot, feats)
+                if frame.depth is not None:
+                    self._seed_depth_landmarks(slot, feats, frame.depth)
             self.search_in_neighbors(slot, feats)
             # one batched descriptor-refresh pass over everything the
             # neighborhood search touched (fuses, transfers, triangulations)
@@ -1690,12 +1938,20 @@ class BundleAdjustmentPipeline:
         V = np.zeros((B, M), bool)
         E0 = np.zeros((B, 6), np.float32)
         for b, rec in enumerate(recs):
-            live = m.pt_active[rec.assoc_pt] == 1
-            n = min(int(live.sum()), M)
-            ids = rec.assoc_pt[live][:n]
+            live = np.nonzero(m.pt_active[rec.assoc_pt] == 1)[0]
+            if len(live) > M:
+                # the guided re-association can exceed the padded capacity;
+                # keep the finest-octave (lowest-sigma) constraints rather
+                # than silently truncating to the head (which would bias
+                # toward tracking-time associations and compute the inlier
+                # ratio over an arbitrary prefix)
+                order = np.argsort(rec.assoc_sig[live], kind="stable")
+                live = np.sort(live[order[:M]])
+            n = len(live)
+            ids = rec.assoc_pt[live]
             P[b, :n] = m.pt_pos[ids]
-            U[b, :n] = rec.assoc_uv[live][:n]
-            S[b, :n] = rec.assoc_sig[live][:n]
+            U[b, :n] = rec.assoc_uv[live]
+            S[b, :n] = rec.assoc_sig[live]
             V[b, :n] = True
             E0[b] = rec.extr
         # pad batch to a bucket for stable jit shapes
@@ -1774,7 +2030,14 @@ class BundleAdjustmentPipeline:
             c_new = np_se3.rt6_to_mat44(np_se3.rt6_inverse(rt[b]))[:3, 3]
             strong = (n_inl >= 3 * self.cfg.min_track_points
                       and n_inl >= 0.8 * n_constr)
-            if np.linalg.norm(c_new - c_old) > guard and not strong:
+            disp = np.linalg.norm(c_new - c_old)
+            # strong evidence relaxes the guard 10x instead of removing it:
+            # a stale-but-self-consistent constraint set (repetitive
+            # texture, fused/moved landmarks) can re-solve confidently to a
+            # wrong pose at ANY displacement; bounding the correction keeps
+            # that failure mode local while still accepting the many-frame-
+            # step drift corrections the override exists for
+            if disp > guard and not (strong and disp <= 10.0 * guard):
                 continue
             if huber_cost(rt[b], b) < huber_cost(rec.extr, b):
                 rec.extr = rt[b]

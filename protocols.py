@@ -129,7 +129,6 @@ def run_protocol(frames, K4, cfg, width, height, warmup=10, pipe=None):
     from bundleadjustment_tpu.metrics import evaluate_ate
     from bundleadjustment_tpu.pipeline import BundleAdjustmentPipeline
 
-    relay_s = measure_relay_floor()
     with CompileCounter() as cc:
         if pipe is None:
             pipe = prewarm(cfg, K4, width, height)
@@ -137,8 +136,16 @@ def run_protocol(frames, K4, cfg, width, height, warmup=10, pipe=None):
         t_start = time.perf_counter()
         timings = []
         statuses = pipe.process_frames(ds, timings=timings)
+        # online trajectory: poses as tracked (keyframes at their during-run
+        # BA state), BEFORE the final global BA + guided refinement — the
+        # per-frame quality the reference's motion-only BA delivers live
+        # (SfMHelper.cpp:106-117); round-4 VERDICT #2
+        ts_online, mats_online = pipe.trajectory_cam_to_world()
         pipe.finalize()
         wall = time.perf_counter() - t_start
+    # measured AFTER the run so warm-up background compiles can't contend
+    # with the relay during the measurement (round-4 advisor finding)
+    relay_s = measure_relay_floor()
     frame_times = list(zip(timings, statuses))
 
     # steady-state tracked-frame fps: median over post-warmup tracked frames
@@ -161,6 +168,8 @@ def run_protocol(frames, K4, cfg, width, height, warmup=10, pipe=None):
     gt_ts = np.array([f["timestamp"] for f in frames])
     gt_xyz = np.array([f["gt_cam_to_world"][:3, 3] for f in frames])
     res = evaluate_ate(ts, mats[:, :3, 3], gt_ts, gt_xyz)
+    res_online = evaluate_ate(ts_online, mats_online[:, :3, 3], gt_ts, gt_xyz)
+    res["ate_online"] = res_online["rmse"]
     return pipe, res, fps, wall, cc.count
 
 
@@ -220,6 +229,7 @@ def config1(track_batch=1):
             f"_tb{track_batch}" if track_batch > 1 else ""
         ),
         "ate_rmse_m": round(res["rmse"], 4),
+        "ate_online_m": round(res["ate_online"], 4),
         "steady_fps": round(fps["steady"], 2),
         "device_only_fps": round(fps["device_only"], 2),
         "relay_floor_ms": round(fps["relay_floor_ms"], 2),
@@ -252,6 +262,7 @@ def config2():
     return {
         "metric": "config2_long_sequence",
         "ate_rmse_m": round(res["rmse"], 4),
+        "ate_online_m": round(res["ate_online"], 4),
         "keyframe_ate_m": round(keyframe_ate(pipe, frames), 4),
         "steady_fps": round(fps["steady"], 2),
         "device_only_fps": round(fps["device_only"], 2),
@@ -290,6 +301,7 @@ def config3():
     return {
         "metric": "config3_rgbd_fusion",
         "ate_rmse_m": round(res["rmse"], 4),
+        "ate_online_m": round(res["ate_online"], 4),
         "recon_error": round(float(fitness), 5),
         "steady_fps": round(fps["steady"], 2),
         "device_only_fps": round(fps["device_only"], 2),
@@ -327,6 +339,7 @@ def config4_teddy():
     return {
         "metric": "config4_teddy_orbit",
         "ate_rmse_m": round(res["rmse"], 4),
+        "ate_online_m": round(res["ate_online"], 4),
         "steady_fps": round(fps["steady"], 2),
         "device_only_fps": round(fps["device_only"], 2),
         "relay_floor_ms": round(fps["relay_floor_ms"], 2),
@@ -392,6 +405,7 @@ def config5_replica_geometry():
         "width": W, "height": H, "fx": 600.0, "depth_scale": 6553.5,
         "frontend_ms_per_frame": round(frontend_ms, 2),
         "ate_rmse_m": round(res["rmse"], 4),
+        "ate_online_m": round(res["ate_online"], 4),
         "recon_error": round(float(fitness), 5),
         "steady_fps": round(fps["steady"], 2),
         "device_only_fps": round(fps["device_only"], 2),
@@ -430,7 +444,6 @@ def config6_long_sequence():
     from bundleadjustment_tpu.pipeline import BundleAdjustmentPipeline
     from bundleadjustment_tpu.pipeline.warmup import CompileWarmer
 
-    relay_s = measure_relay_floor()
     ds = make_dataset(frames)
     with CompileCounter() as cc:
         pipe = pipe6
@@ -441,8 +454,10 @@ def config6_long_sequence():
         statuses += pipe.process_frames(ds[250:], timings=timings)
         compiles_second_half = cc.count - compiles_first_half
         kfs_before_final = pipe.stats["keyframes"]
+        ts_online, mats_online = pipe.trajectory_cam_to_world()
         pipe.finalize()
         wall = time.perf_counter() - t_start
+    relay_s = measure_relay_floor()  # after the run: no warm-up contention
 
     tracked = [t for t, s in list(zip(timings, statuses))[10:]
                if s == "tracked"]
@@ -451,11 +466,14 @@ def config6_long_sequence():
     gt_ts = np.array([f["timestamp"] for f in frames])
     gt_xyz = np.array([f["gt_cam_to_world"][:3, 3] for f in frames])
     res = evaluate_ate(ts, mats[:, :3, 3], gt_ts, gt_xyz)
+    res["ate_online"] = evaluate_ate(
+        ts_online, mats_online[:, :3, 3], gt_ts, gt_xyz)["rmse"]
     active_kfs = len(pipe.map.active_keyframes())
     path_len = float(np.linalg.norm(np.diff(gt_xyz, axis=0), axis=1).sum())
     return {
         "metric": "config6_long_sequence_500f",
         "ate_rmse_m": round(res["rmse"], 4),
+        "ate_online_m": round(res["ate_online"], 4),
         "keyframe_ate_m": round(keyframe_ate(pipe, frames), 4),
         "gt_path_length_m": round(path_len, 2),
         "ate_pct_of_path": round(100.0 * res["rmse"] / max(path_len, 1e-9),
@@ -477,6 +495,98 @@ def config6_long_sequence():
     }
 
 
+def config7_global_10k(n_frames=100, n_features=2500, mode="single"):
+    """BASELINE config-4 for real (round-4 VERDICT #1): build a
+    >=10k-landmark map INSIDE the pipeline — RGB-D depth seeding at every
+    keyframe + guided projection densification + a raised feature budget —
+    then global-BA-solve the map the pipeline actually produced and measure
+    BA it/s on that map-derived problem (its real sparsity and
+    obs-per-landmark distribution, not a synthetic table).  Reference:
+    global BA over the entire map at every keyframe / at the end
+    (`ba_project/src/ba/Optimizer.cpp:93-160`,
+    `BundleAdjustment.cpp:228-230`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bundleadjustment_tpu.data.synthetic import render_layered_scene
+    from bundleadjustment_tpu.pipeline import PipelineConfig
+    from bundleadjustment_tpu.solvers import LMConfig
+    from bundleadjustment_tpu.solvers.dense_ba import (
+        dense_ba_solve,
+        densify_problem_auto,
+    )
+    from bundleadjustment_tpu.utils.flops import roofline
+    from bundleadjustment_tpu.utils.marginal import measure_marginal
+
+    cfg = PipelineConfig(
+        init_type="gtdepth", estimation="ba", local_ba=True,
+        n_features=n_features, n_levels=8, keyframe_ratio=0.25,
+        depth_landmarks=True, depth_landmarks_max=2000,
+        global_ba_mode=mode,
+    )
+    K4 = np.array([525.0, 525.0, (640 - 1) / 2.0, (480 - 1) / 2.0],
+                  np.float32)
+    pipe7 = prewarm(cfg, K4, 640, 480)
+    frames, _ = render_layered_scene(
+        n_frames=n_frames, width=640, height=480, fx=525.0, fy=525.0,
+        trajectory="sweep", motion_step=0.04, rot_step=0.01, seed=17,
+    )
+    pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, 640, 480,
+                                               pipe=pipe7)
+
+    # the map-derived global-BA problem (exactly what finalize solved)
+    kfs = [int(k) for k in pipe.map.active_keyframes()]
+    snap = pipe.map.snapshot_problem(kfs, min_obs=2)
+    n_solve = int(snap.pt_ids.shape[0])
+    n_obs = int(np.asarray(snap.valid).sum())
+
+    # measured BA it/s on the real problem: LSQ marginal fit over scan
+    # lengths (utils/marginal.py methodology)
+    dense, _dropped, max_obs = densify_problem_auto(
+        snap.K4, snap.cam_idx, snap.pt_idx, snap.uv, snap.sigma2, snap.valid,
+        snap.cam_fixed, snap.points.shape[0],
+        max_obs=cfg.ba_max_obs_per_pt,
+    )
+    cams0 = jnp.asarray(snap.extr)
+    pts0 = jnp.asarray(snap.points)
+
+    def _t(it):
+        lmcfg = LMConfig(max_iters=it, solver="dense")
+        out = dense_ba_solve(dense, cams0, pts0, lmcfg)
+        t0 = time.perf_counter()  # timed call (first call compiled)
+        out = dense_ba_solve(dense, cams0, pts0, lmcfg)
+        jax.device_get((out[0], out[1]))
+        return time.perf_counter() - t0
+
+    fit = measure_marginal(_t, iter_counts=(8, 24, 48, 72), repeats=2)
+    Kp, Lp = int(snap.extr.shape[0]), int(snap.points.shape[0])
+    roof = roofline(fit["iters_per_s"], Kp, Lp, max_obs, jax.devices()[0],
+                    solver="dense")
+    return {
+        "metric": "config7_global_ba_10k" + ("" if mode == "single"
+                                             else f"_{mode}"),
+        "ate_rmse_m": round(res["rmse"], 4),
+        "ate_online_m": round(res["ate_online"], 4),
+        "steady_fps": round(fps["steady"], 2),
+        "device_only_fps": round(fps["device_only"], 2),
+        "jit_compiles": ncomp,
+        "wall_s": round(wall, 1),
+        "frames": n_frames,
+        "keyframes": pipe.stats["keyframes"],
+        "keyframes_active": len(kfs),
+        "landmarks_active": int(len(pipe.map.active_points())),
+        "landmarks_in_solve": n_solve,
+        "obs_in_solve": n_obs,
+        "max_obs_per_pt": max_obs,
+        "global_ba_mode": mode,
+        "ba_iter_per_s": round(fit["iters_per_s"], 1),
+        "ba_marginal_ms": round(fit["slope_s"] * 1e3, 4),
+        "ba_marginal_ms_stderr": round(fit["slope_stderr_s"] * 1e3, 4),
+        "ba_marginal_mfu": (round(roof["mfu"], 4) if roof["mfu"] else None),
+        "solve_shape_KLO": [Kp, Lp, max_obs],
+    }
+
+
 PROTOCOLS = {
     "1": config1,
     "2": config2,
@@ -484,6 +594,7 @@ PROTOCOLS = {
     "4": config4_teddy,
     "5": config5_replica_geometry,
     "6": config6_long_sequence,
+    "7": config7_global_10k,
 }
 
 
