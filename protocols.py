@@ -205,7 +205,7 @@ def gt_cloud(frames, K4, stride=4, px_stride=8):
     return np.concatenate(pts)
 
 
-def config1(track_batch=1):
+def config1(track_batch=1, seed=11):
     from bundleadjustment_tpu.data.synthetic import render_layered_scene
     from bundleadjustment_tpu.pipeline import PipelineConfig
 
@@ -219,7 +219,7 @@ def config1(track_batch=1):
     pipe = prewarm(cfg, K4, 640, 480)  # overlap compiles with rendering
     frames, K4r = render_layered_scene(
         n_frames=50, width=640, height=480, fx=525.0, fy=525.0,
-        trajectory="forward", motion_step=0.03, seed=11,
+        trajectory="forward", motion_step=0.03, seed=seed,
     )
     assert np.allclose(K4, K4r)
     pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, 640, 480,
@@ -243,7 +243,7 @@ def config1(track_batch=1):
     }
 
 
-def config2():
+def config2(seed=12):
     from bundleadjustment_tpu.data.synthetic import render_layered_scene
     from bundleadjustment_tpu.pipeline import PipelineConfig
 
@@ -255,7 +255,7 @@ def config2():
     pipe = prewarm(cfg, K4, 640, 480)
     frames, _ = render_layered_scene(
         n_frames=120, width=640, height=480, fx=525.0, fy=525.0,
-        trajectory="handheld", motion_step=0.05, rot_step=0.012, seed=12,
+        trajectory="handheld", motion_step=0.05, rot_step=0.012, seed=seed,
     )
     pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, 640, 480,
                                                pipe=pipe)
@@ -275,7 +275,7 @@ def config2():
     }
 
 
-def config3():
+def config3(seed=13):
     from bundleadjustment_tpu.data.synthetic import render_layered_scene
     from bundleadjustment_tpu.metrics.reconstruction import reconstruction_error
     from bundleadjustment_tpu.pipeline import PipelineConfig
@@ -288,7 +288,7 @@ def config3():
     pipe = prewarm(cfg, K4, 640, 480)
     frames, _ = render_layered_scene(
         n_frames=40, width=640, height=480, fx=525.0, fy=525.0,
-        trajectory="orbit", motion_step=0.06, seed=13,
+        trajectory="orbit", motion_step=0.06, seed=seed,
     )
     pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, 640, 480,
                                                pipe=pipe)
@@ -315,7 +315,7 @@ def config3():
     }
 
 
-def config4_teddy():
+def config4_teddy(seed=14):
     """fr1/teddy-shaped: rotation-dominant object orbit, texture-poor
     background, occluding panels (reference VirtualSensor.h:15-20 ships
     fr1/teddy; this protocol covers the object-orbit regime the forward/
@@ -332,7 +332,7 @@ def config4_teddy():
     frames, _ = render_layered_scene(
         n_frames=60, width=640, height=480, fx=525.0, fy=525.0,
         trajectory="orbit", motion_step=0.08, n_layers=8,
-        background_texture=0.15, seed=14,
+        background_texture=0.15, seed=seed,
     )
     pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, 640, 480,
                                                pipe=pipe)
@@ -351,7 +351,7 @@ def config4_teddy():
     }
 
 
-def config5_replica_geometry():
+def config5_replica_geometry(seed=15):
     """Replica room0 camera geometry end to end (round-3 VERDICT #3): the
     reference's primary dataset is 1200x680 / fx=fy=600 / depth scale
     6553.5 (`/root/reference/ba_project/src/data/VirtualSensor.h:100-116`,
@@ -375,7 +375,7 @@ def config5_replica_geometry():
     pipe5 = prewarm(cfg, K4, W, H)
     frames, _ = render_layered_scene(
         n_frames=40, width=W, height=H, fx=600.0, fy=600.0,
-        trajectory="orbit", motion_step=0.06, depth_scale=6553.5, seed=15,
+        trajectory="orbit", motion_step=0.06, depth_scale=6553.5, seed=seed,
     )
 
     # frontend cost at Replica resolution: sustained detect_and_describe
@@ -418,7 +418,7 @@ def config5_replica_geometry():
     }
 
 
-def config6_long_sequence():
+def config6_long_sequence(seed=16):
     """500-frame long-sequence protocol (round-3 VERDICT #4): the
     reference's default regime is `--frames 2000` with keyframe culling and
     local BA (`/root/reference/ba_project/src/main.cpp:48-64`,
@@ -436,7 +436,7 @@ def config6_long_sequence():
     pipe6 = prewarm(cfg, K4, 640, 480)
     frames, _ = render_layered_scene(
         n_frames=500, width=640, height=480, fx=525.0, fy=525.0,
-        trajectory="sweep", motion_step=0.04, rot_step=0.01, seed=16,
+        trajectory="sweep", motion_step=0.04, rot_step=0.01, seed=seed,
     )
     # split-half compile counts: re-run the protocol body inline so the
     # counter can be read mid-stream
@@ -495,7 +495,7 @@ def config6_long_sequence():
     }
 
 
-def config7_global_10k(n_frames=100, n_features=2500, mode="single"):
+def config7_global_10k(n_frames=100, n_features=2500, mode="single", seed=17):
     """BASELINE config-4 for real (round-4 VERDICT #1): build a
     >=10k-landmark map INSIDE the pipeline — RGB-D depth seeding at every
     keyframe + guided projection densification + a raised feature budget —
@@ -529,7 +529,7 @@ def config7_global_10k(n_frames=100, n_features=2500, mode="single"):
     pipe7 = prewarm(cfg, K4, 640, 480)
     frames, _ = render_layered_scene(
         n_frames=n_frames, width=640, height=480, fx=525.0, fy=525.0,
-        trajectory="sweep", motion_step=0.04, rot_step=0.01, seed=17,
+        trajectory="sweep", motion_step=0.04, rot_step=0.01, seed=seed,
     )
     pipe, res, fps, wall, ncomp = run_protocol(frames, K4, cfg, 640, 480,
                                                pipe=pipe7)
@@ -587,6 +587,136 @@ def config7_global_10k(n_frames=100, n_features=2500, mode="single"):
     }
 
 
+def checkpoint_resume_worker(spec_path):
+    """Fresh-process resume half of the checkpoint/resume equivalence
+    protocol: load the checkpoint named in the JSON spec, re-render the
+    (deterministic) scene, process the remaining frames, finalize, and
+    write the final ATE to spec["out"].  Run as
+    `python -c "import protocols; protocols.checkpoint_resume_worker(p)"`
+    so the resumed half genuinely runs in a fresh process (round-4
+    VERDICT #5)."""
+    with open(spec_path) as f:
+        spec = json.load(f)
+    if spec.get("platform") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from bundleadjustment_tpu.metrics import evaluate_ate
+    from bundleadjustment_tpu.pipeline import PipelineConfig
+    from bundleadjustment_tpu.pipeline.checkpoint import load_checkpoint
+
+    if spec["scene"] == "layered":
+        from bundleadjustment_tpu.data.synthetic import (
+            render_layered_scene as render,
+        )
+    else:
+        from bundleadjustment_tpu.data.synthetic import (
+            render_plane_sequence as render,
+        )
+    frames, _K4 = render(**spec["render"])
+    cfg = PipelineConfig(**spec["cfg"])
+    pipe = load_checkpoint(spec["ckpt"], cfg)
+    ds = make_dataset(frames)
+    pipe.process_frames(ds[spec["start"]:])
+    pipe.finalize()
+    ts, mats = pipe.trajectory_cam_to_world()
+    gt_ts = np.array([f["timestamp"] for f in frames])
+    gt_xyz = np.array([f["gt_cam_to_world"][:3, 3] for f in frames])
+    res = evaluate_ate(ts, mats[:, :3, 3], gt_ts, gt_xyz)
+    out = {
+        "ate_rmse_m": round(res["rmse"], 4),
+        "frames_tracked": int(len(ts)),
+        "keyframes": int(pipe.stats["keyframes"]),
+        "landmarks": int(len(pipe.map.active_points())),
+    }
+    with open(spec["out"], "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out), flush=True)
+
+
+def config6_checkpoint_resume(seed=16):
+    """Protocol-scale checkpoint/resume equivalence (round-4 VERDICT #5):
+    run config 6's 500-frame sequence, interrupt at frame 250, checkpoint,
+    resume in a FRESH PROCESS, run to completion, and compare the final ATE
+    against the uninterrupted run (the round-4 config-6 row).  The
+    feats-not-checkpointed fallback (pipeline/checkpoint.py) means frames
+    tracked before the cut lose guided re-association at finalize — the
+    delta quantifies that degradation.  The reference has no checkpointing
+    at all (SURVEY.md §5): this is claimed superiority, proved."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    from bundleadjustment_tpu.data.synthetic import render_layered_scene
+    from bundleadjustment_tpu.metrics import evaluate_ate
+    from bundleadjustment_tpu.pipeline import PipelineConfig
+    from bundleadjustment_tpu.pipeline.checkpoint import save_checkpoint
+
+    render_kw = dict(
+        n_frames=500, width=640, height=480, fx=525.0, fy=525.0,
+        trajectory="sweep", motion_step=0.04, rot_step=0.01, seed=seed,
+    )
+    cfg_kw = dict(
+        init_type="gtdepth", estimation="ba", local_ba=True,
+        cull_frames=True, n_features=1000, n_levels=8,
+    )
+    cfg = PipelineConfig(**cfg_kw)
+    K4 = np.array([525.0, 525.0, 319.5, 239.5], np.float32)
+    pipe = prewarm(cfg, K4, 640, 480)
+    frames, _ = render_layered_scene(**render_kw)
+    ds = make_dataset(frames)
+    t0 = time.perf_counter()
+    pipe.process_frames(ds[:250])
+    tmpd = tempfile.mkdtemp(prefix="ckpt6_")
+    ckpt = os.path.join(tmpd, "state.npz")
+    save_checkpoint(ckpt, pipe)
+    ckpt_bytes = os.path.getsize(ckpt)
+    # uninterrupted continuation in THIS process (the comparison run)
+    pipe.process_frames(ds[250:])
+    pipe.finalize()
+    wall_straight = time.perf_counter() - t0
+    ts, mats = pipe.trajectory_cam_to_world()
+    gt_ts = np.array([f["timestamp"] for f in frames])
+    gt_xyz = np.array([f["gt_cam_to_world"][:3, 3] for f in frames])
+    ate_straight = evaluate_ate(ts, mats[:, :3, 3], gt_ts, gt_xyz)["rmse"]
+
+    # fresh-process resume
+    spec = {
+        "ckpt": ckpt, "scene": "layered", "render": render_kw,
+        "cfg": cfg_kw, "start": 250,
+        "out": os.path.join(tmpd, "resume.json"),
+    }
+    spec_path = os.path.join(tmpd, "spec.json")
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+    t1 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         f"import protocols; protocols.checkpoint_resume_worker({spec_path!r})"],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        capture_output=True, text=True, timeout=3600,
+    )
+    wall_resume = time.perf_counter() - t1
+    if proc.returncode != 0:
+        return {"metric": "config6_checkpoint_resume", "error":
+                proc.stderr[-500:]}
+    with open(spec["out"]) as f:
+        resumed = json.load(f)
+    return {
+        "metric": "config6_checkpoint_resume",
+        "ate_straight_m": round(ate_straight, 4),
+        "ate_resumed_m": resumed["ate_rmse_m"],
+        "ate_delta_m": round(abs(resumed["ate_rmse_m"] - ate_straight), 4),
+        "frames": 500, "checkpoint_at": 250,
+        "checkpoint_mb": round(ckpt_bytes / 1e6, 1),
+        "keyframes_straight": pipe.stats["keyframes"],
+        "keyframes_resumed": resumed["keyframes"],
+        "wall_straight_s": round(wall_straight, 1),
+        "wall_resume_s": round(wall_resume, 1),
+    }
+
+
 PROTOCOLS = {
     "1": config1,
     "2": config2,
@@ -595,7 +725,45 @@ PROTOCOLS = {
     "5": config5_replica_geometry,
     "6": config6_long_sequence,
     "7": config7_global_10k,
+    "6r": config6_checkpoint_resume,
 }
+
+
+def seed_sweep(names=("1", "2", "3", "4", "5", "6"), offsets=(0, 100, 200)):
+    """Seed-robustness sweep (round-4 VERDICT #3): every config at >=3
+    scene/trajectory seeds (offset 0 = the canonical seed).  Prints one
+    JSON line per run plus a summary row per config with mean/max/spread.
+    The reference is evaluated across whole TUM sequences, not one draw
+    (`/root/reference/ba_project/src/metrics/evaluate_ate_scale.py:131-180`)
+    — multi-seed synthetics are this environment's equivalent."""
+    import inspect
+
+    import jax
+
+    dev = str(jax.devices()[0])
+    summary = []
+    for name in names:
+        fn = PROTOCOLS[name]
+        base = inspect.signature(fn).parameters["seed"].default
+        ates = []
+        for off in offsets:
+            out = fn(seed=base + off)
+            out["device"] = dev
+            out["scene_seed"] = base + off
+            print(json.dumps(out), flush=True)
+            ates.append(out["ate_rmse_m"])
+        row = {
+            "metric": f"seed_sweep_config{name}",
+            "seeds": [base + o for o in offsets],
+            "ate_all_m": ates,
+            "ate_mean_m": round(float(np.mean(ates)), 4),
+            "ate_max_m": round(float(np.max(ates)), 4),
+            "ate_spread_m": round(float(np.max(ates) - np.min(ates)), 4),
+            "in_bound_0p05": bool(np.max(ates) < 0.05),
+        }
+        summary.append(row)
+        print(json.dumps(row), flush=True)
+    return summary
 
 
 def main(argv=None):
@@ -604,9 +772,17 @@ def main(argv=None):
     import jax
 
     names = (argv if argv is not None else sys.argv[1:]) or list(PROTOCOLS)
+    if names and names[0] == "sweep":
+        seed_sweep(names[1:] or ("1", "2", "3", "4", "5", "6"))
+        return
     dev = str(jax.devices()[0])
     for name in names:
-        out = PROTOCOLS[name]()
+        # "1:111" runs config 1 at scene seed 111
+        if ":" in name:
+            name, seed = name.split(":")
+            out = PROTOCOLS[name](seed=int(seed))
+        else:
+            out = PROTOCOLS[name]()
         out["device"] = dev
         print(json.dumps(out), flush=True)
 
