@@ -17,6 +17,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -106,6 +107,94 @@ def time_solve(device, sc, dense, repeats=3, layout="dense", iters=LM_ITERS):
     return iters / best, float(info["cost0"]), float(info["cost"])
 
 
+def time_frontend_batch(B, H=480, W=640, n_features=1000, n_levels=8,
+                        repeats=3, n_sustained=4):
+    """Sustained ms/frame of the batched frontend (`detect_batch`) at batch
+    size B: the dispatch floor amortizes across the batch, so this is the
+    honest speed-of-light number for offline/mapping detection (round-4
+    VERDICT #6).  Sustained protocol: n_sustained back-to-back dispatches,
+    one small fetch (block_until_ready is unreliable on relay platforms)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bundleadjustment_tpu.ops.features import FeatureConfig, detect_batch
+
+    cfg = FeatureConfig(n_features=n_features, n_levels=n_levels)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((B, H, W)).astype(np.float32))
+    det = jax.jit(lambda x: detect_batch(x, cfg))
+    out = det(imgs)
+    jax.device_get(out.xy)  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_sustained):
+            out = det(imgs)
+        jax.device_get(out.xy)
+        best = min(best, time.perf_counter() - t0)
+    return best / (n_sustained * B) * 1e3
+
+
+def _purge_stale_jax_cache():
+    """Remove repo-local .jax_cache subdirectories whose host tag does not
+    match THIS host (stale entries from other relay machines are exactly
+    the SIGILL-warning deserialize risk — round-4 VERDICT #7)."""
+    import shutil
+
+    from bundleadjustment_tpu.utils.cache import _host_tag
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".jax_cache")
+    if not os.path.isdir(root):
+        return
+    keep = _host_tag()
+    for name in os.listdir(root):
+        if name != keep:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+def _run_cpu_baseline():
+    """The CPU flat-engine baseline in a FULLY ISOLATED subprocess: no TPU
+    plugin (PALLAS_AXON_POOL_IPS cleared so the sitecustomize hook no-ops),
+    no compilation cache (XLA:CPU AOT reloads emit SIGILL-class
+    feature-mismatch warnings even same-host).  Its stderr never reaches
+    this process's output, so the bench tail stays clean (round-4 VERDICT
+    #7).  Returns iters/s (falls back to NaN on failure, logged)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    code = (
+        "import json, bench\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "sc, dense, n_obs = bench.build_problem()\n"
+        "it, c0, c = bench.time_solve(jax.devices('cpu')[0], sc, dense,"
+        " repeats=1, layout='flat')\n"
+        "print(json.dumps({'cpu_iters_per_s': it}))\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=900, env=env,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                return float(json.loads(line)["cpu_iters_per_s"])
+            except (json.JSONDecodeError, KeyError):
+                continue
+        print(f"cpu baseline subprocess produced no JSON "
+              f"(rc={proc.returncode}); stderr tail: {proc.stderr[-300:]}",
+              file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("cpu baseline subprocess timed out", file=sys.stderr)
+    return float("nan")
+
+
 def _run_bench_large():
     """Run bench_large.py as a timeout-guarded subprocess and return its
     merged JSON fields ({} on failure, with the failure logged to stderr —
@@ -151,7 +240,9 @@ def main():
     # persistent compile cache: repeat bench runs (driver rounds) skip the
     # multi-minute XLA compiles where the platform honors the cache.  The
     # cache dir is keyed by host CPU features (utils/cache.py) so a stale
-    # entry from a different relay host can't SIGILL this run.
+    # entry from a different relay host can't SIGILL this run; stale tags
+    # from OTHER hosts are purged outright (round-4 VERDICT #7).
+    _purge_stale_jax_cache()
     from bundleadjustment_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -188,21 +279,22 @@ def main():
     roof_marginal = roofline(marginal_iter_s, N_CAMS, N_PTS, MAX_OBS,
                              default_dev, solver="dense")
 
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    if cpu is not None and cpu != default_dev:
+    # frontend speed-of-light: batched detection amortizes the dispatch
+    # floor; frontend MFU/bandwidth from the term-by-term FLOP model
+    # (round-4 VERDICT #6)
+    from bundleadjustment_tpu.utils.flops import frontend_roofline
+
+    fe_b8 = time_frontend_batch(8)
+    fe_b32 = time_frontend_batch(32)
+    fe_roof = frontend_roofline(fe_b32, 480, 640, default_dev)
+
+    if jax.default_backend() != "cpu":
         # CPU baseline uses the flat/segment_sum layout — the faster of the
         # two engines on CPU, so the speedup is engine-vs-engine honest.
-        # Persistent cache OFF for this part: XLA:CPU AOT reloads emit
-        # SIGILL-class feature-mismatch warnings even same-host (see
-        # utils/cache.py) and would dirty the bench tail.
-        try:
-            jax.config.update("jax_compilation_cache_dir", None)
-        except Exception:
-            pass
-        iters_cpu, _, _ = time_solve(cpu, sc, dense, repeats=1, layout="flat")
+        # Runs in a fully isolated subprocess (no TPU plugin, no compile
+        # cache) so XLA:CPU AOT SIGILL-class warnings can never reach this
+        # process's output tail (round-4 VERDICT #7).
+        iters_cpu = _run_cpu_baseline()
     else:
         iters_cpu = iters_dev
 
@@ -212,13 +304,16 @@ def main():
                 "metric": "ba_iterations_per_s",
                 "value": round(iters_dev, 3),
                 "unit": "iter/s",
-                "vs_baseline": round(iters_dev / max(iters_cpu, 1e-9), 3),
+                "vs_baseline": (
+                    round(iters_dev / iters_cpu, 3)
+                    if iters_cpu == iters_cpu and iters_cpu > 0 else None),
                 "device": str(default_dev),
                 "n_cams": N_CAMS,
                 "n_landmarks": N_PTS,
                 "n_obs": n_obs,
                 "solver": "exact_dense_schur",
-                "cpu_iters_per_s": round(iters_cpu, 3),
+                "cpu_iters_per_s": (round(iters_cpu, 3)
+                                    if iters_cpu == iters_cpu else None),
                 "cost_reduction": round(cost0 / max(cost, 1e-12), 1),
                 "layout": "dense_landmark_major_cm",
                 # roofline: counted FLOPs/bytes per LM iteration
@@ -244,6 +339,16 @@ def main():
                     fit["intercept_s"] * 1e3, 2),
                 "marginal_fit_points": [
                     [it, round(t, 5)] for it, t in fit["points"]],
+                # batched-frontend speed of light (640x480, 1000 feats,
+                # 8 levels) + roofline vs the term-by-term FLOP/byte model
+                "frontend_b8_ms_per_frame": round(fe_b8, 3),
+                "frontend_b32_ms_per_frame": round(fe_b32, 3),
+                "frontend_mfu": (round(fe_roof["mfu"], 5)
+                                 if fe_roof["mfu"] else None),
+                "frontend_gflops": round(fe_roof["achieved_gflops"], 1),
+                "frontend_bw_util": (round(fe_roof["bw_util"], 4)
+                                     if fe_roof["bw_util"] else None),
+                "frontend_dominant_term": fe_roof["dominant_term"],
                 **large,
             }
         )

@@ -260,6 +260,13 @@ int32_t map_add_observation(MapStore* m, int32_t pt, int32_t kf, int32_t kp) {
   size_t b = m->kp_base(kf);
   if (m->kp_pt[b + kp] == pt) return 0;
   if (m->kp_pt[b + kp] >= 0) return -2;  // slot taken; caller decides fuse
+  // one observation per frame per landmark (the reference's obs map is
+  // keyed by Frame, src/model/MapPoint.cpp:51-61): without this, cross-
+  // neighbor transfers matching different keypoints of one frame to the
+  // same landmark double-count constraints (and blew max-obs-per-landmark
+  // past 256 in 48-keyframe maps)
+  for (auto& o : m->pt_obs[pt])
+    if (o.kf == kf) return -3;
   m->kp_pt[b + kp] = pt;
   m->kp_outlier[b + kp] = 0;
   m->pt_obs[pt].push_back({kf, kp});

@@ -285,3 +285,19 @@ def test_point_has_outlier_obs(small_map):
     m.set_outlier(k1, 0, True)
     flags = m.point_has_outlier_obs([p0, p1, -1, 10**6])
     assert list(flags) == [True, False, False, False]
+
+
+def test_one_observation_per_frame_per_landmark(small_map):
+    """A landmark may be observed at most once per frame (the reference's
+    obs map is keyed by Frame, src/model/MapPoint.cpp:51-61).  A second
+    add_observation of the same landmark at a DIFFERENT keypoint of the
+    same frame must be rejected, not double-counted."""
+    m = small_map
+    kf = add_simple_frame(m, 0.0)
+    pt = m.add_point([0, 0, 2.0])
+    assert m.add_observation(pt, kf, 0) == 1
+    assert m.add_observation(pt, kf, 1) == -3
+    assert m.kp_pt[kf, 1] == -1
+    assert m.point_obs_count(pt) == 1
+    # the same (kf, kp) pair stays idempotent
+    assert m.add_observation(pt, kf, 0) == 0
