@@ -385,13 +385,23 @@ def fused_eval_assemble_bs(K4, cam_t, uv_t, inv_sigma_t, valid_t, fixed_t,
 
 
 def fused_eval_supported(O, L, K):
-    """Conservative gate: VMEM budget for the one-hot + plane working set."""
+    """Conservative gate: VMEM budget for the one-hot + plane working set.
+
+    Budgets the LARGER `_kernel_bs` footprint (the fused LM step always
+    runs `fused_eval_assemble_bs` after the seed eval): on top of kernel
+    1's one-hot + rows + planes + W output, the bs kernel reads the
+    [18, O, LT] carried W_prev, gathers 18 camera rows instead of 12
+    (+6 [O, LT] planes), and writes Xt_new (round-4 advisor finding —
+    shapes near the gate boundary must not fail Mosaic compilation instead
+    of falling back to XLA)."""
     if K > 128 or O > 64:
         return False
     LT = _pick_tile(O, L)
     n = O * LT
-    # one-hot [K, N] + rows [28, N] + ~45 [O, LT] planes + W block, f32
-    vmem = (K * n + N_ROWS * n + 45 * n + 18 * n) * 4
+    # one-hot [K, N] + rows [28, N] + ~45 [O, LT] planes + W output
+    # + W_prev input (18n) + wider gather (6n); small [*, LT] vectors
+    # (vinv6/gp_prev/ptv/Xt/Xt_new ~ 16*LT) round up to 1n
+    vmem = (K * n + N_ROWS * n + 45 * n + 18 * n + 18 * n + 6 * n + n) * 4
     return vmem < 12 * 1024 * 1024
 
 
@@ -705,11 +715,21 @@ def _schur_s_kernel(lam_ref, *refs, O, LT, K, s_bf16, fold_u):
             s_ref[...] += s_contrib
 
 
+def _s_per_lane_bytes(O, K):
+    """Per-landmark-lane VMEM bytes of the S kernel's working set: the
+    [6K, LT] Q slabs (x3 m), the [K, 18, LT]-equivalent G/oh products,
+    the W/G planes — AND the one-hot structures the round-4 advisor found
+    missing from this estimate: oh_t [K, O*LT] plus the O per-observation
+    [K, LT] masks (2*K*O per lane), which dominate at high obs-per-point."""
+    return (K * 18 + 6 * K * 3 + 2 * K * O + 18 * O * 2 + 30 * O) * 4
+
+
 def _pick_tile_s(O, L, K):
-    """Landmark tile for the S kernel: the [K, 18, LT] Q-expansion and the
-    [6K, 3LT] Q block dominate VMEM; keep their sum under ~8 MB."""
-    per_lane = (K * 18 + 6 * K * 3 + 18 * O * 2 + 30 * O) * 4
-    lt = max(128, (8 * 1024 * 1024) // per_lane)
+    """Landmark tile for the S kernel: keep the tile working set under
+    ~11 MB of the ~16 MB/core VMEM (calibrated so the measured-optimal
+    LT=512 at the 64-cam/O=16 bench shape is preserved)."""
+    per_lane = _s_per_lane_bytes(O, K)
+    lt = max(128, (11 * 1024 * 1024) // per_lane)
     lt = min(lt, 2048)
     return (lt // 128) * 128
 
@@ -720,8 +740,7 @@ def fused_schur_s_supported(O, L, K):
         return False
     LT = _pick_tile_s(O, L, K)
     s_bytes = (6 * K) * (6 * K) * 4
-    per_lane = (K * 18 + 6 * K * 3 + 18 * O * 2 + 30 * O) * 4
-    return s_bytes + per_lane * LT < 13 * 1024 * 1024
+    return s_bytes + _s_per_lane_bytes(O, K) * LT < 13 * 1024 * 1024
 
 
 @partial(jax.jit, static_argnames=("n_cams", "s_bf16", "interpret"))
