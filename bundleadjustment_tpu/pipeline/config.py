@@ -46,13 +46,16 @@ class PipelineConfig:
 
     # tracking / keyframes
     keyframe_ratio: float = 0.1  # BundleAdjustment.cpp:161
-    track_local_map: bool = False  # guided map-point projection matching after
+    track_local_map: bool = True  # guided map-point projection matching after
     #   the first motion-only pass (beyond the reference, which associates
-    #   against the last frame only).  Opt-in: with the native representative-
-    #   descriptor refresh wired (round 2) the old catastrophic regression is
-    #   gone, but the layered-scene A/B is mixed — handheld 0.0034 -> 0.0050
-    #   ATE (hurts), aggressive-motion 0.0219 -> 0.0202 (helps) — so the
-    #   default stays off; enable for fast-motion sequences.  See BASELINE.md.
+    #   against the last frame only).  Default ON since round 5: the round-4
+    #   A/B over three scene shapes x two seeds improved ONLINE ATE in 11/12
+    #   runs (up to 4x: handheld 0.057 -> 0.020, sweep 0.060 -> 0.015) and
+    #   final ATE in 10/12 — the round-2 "net neutral" result predates two
+    #   frontend rewrites.  Runs inside the device-resident tracking batch
+    #   (the _track_batch_jit tlm stage: snapshot projection + guided match
+    #   + re-solve, all in the scan), so the batched dispatch amortization
+    #   is kept.  See BASELINE.md round 5.
     track_window_px: float = 12.0  # projection search radius (level-0 px)
     tracking_fail_ratio: float = 1e-4  # BundleAdjustment.cpp:157-160
     min_track_points: int = 10

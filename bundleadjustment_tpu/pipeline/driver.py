@@ -179,10 +179,15 @@ def _track_fused_jit(gray, prev_desc, prev_valid, prev_xyz, prev_ok,
 
 @partial(jax.jit, static_argnames=("feat_cfg", "ratio", "use_pallas",
                                    "assoc_max", "mcfg", "max_obs",
-                                   "min_track", "pnp_guard"))
+                                   "min_track", "pnp_guard", "tlm",
+                                   "window_px", "search_max", "width",
+                                   "height"))
 def _track_batch_jit(grays, prev_desc, prev_valid, prev_xyz, prev_ok,
+                     prev_sid, lm_xyz, lm_desc, lm_valid,
                      last_extr, prev_extr, K4, *, feat_cfg, ratio, use_pallas,
-                     assoc_max, mcfg, max_obs, min_track, pnp_guard):
+                     assoc_max, mcfg, max_obs, min_track, pnp_guard,
+                     tlm=False, window_px=12.0, search_max=64.0,
+                     width=640, height=480):
     """Device-resident tracking microbatch: `lax.scan` over B frames.
 
     Each step runs the full tracked-frame recurrence on device — constant-
@@ -196,6 +201,21 @@ def _track_batch_jit(grays, prev_desc, prev_valid, prev_xyz, prev_ok,
     track).  One dispatch + one fetch per B frames instead of per frame —
     the SURVEY.md §7(d) amortization of the data-dependent keyframe sync.
 
+    With `tlm` (track-local-map), each step adds the guided second pass of
+    the per-frame path (`_track_local_map`): the batch-start snapshot of the
+    well-observed landmarks (lm_xyz/lm_desc/lm_valid, frozen within a batch
+    because the map only mutates at keyframes) is projected at the first-
+    pass pose, descriptor-matched (ratio 0.9 + search_max) against the
+    still-unassociated keypoints inside the window_px gate, and the pose is
+    re-solved over the enlarged 2D-3D set; the re-solve wins when it keeps
+    at least as many inliers.  prev_sid carries each keypoint's snapshot
+    index so already-associated landmarks are excluded, and snapshot hits
+    propagate into the next frame's trackable state like any other
+    association.  (One caveat vs the per-frame path: representative
+    descriptors refreshed by tracked-frame observations DURING the batch are
+    not visible to the snapshot — a bounded staleness of < track_batch
+    frames.)
+
     Results for frames after the first keyframe/tracking-loss in the batch
     are invalid (the host discards and re-runs them): a keyframe triangulates
     new landmarks and runs BA, which this scan cannot see.
@@ -203,9 +223,10 @@ def _track_batch_jit(grays, prev_desc, prev_valid, prev_xyz, prev_ok,
     from bundleadjustment_tpu.geometry import se3
 
     M = prev_desc.shape[0]
+    N = lm_xyz.shape[0]
 
     def step(carry, gray):
-        desc_p, valid_p, xyz_p, ok_p, extr1, extr2 = carry
+        desc_p, valid_p, xyz_p, ok_p, sid_p, extr1, extr2 = carry
         # constant-velocity prediction (host analogue: _predict_extr)
         vel = se3.rt6_compose(extr1, se3.rt6_inverse(extr2))
         pred = se3.rt6_compose(vel, extr1)
@@ -227,18 +248,81 @@ def _track_batch_jit(grays, prev_desc, prev_valid, prev_xyz, prev_ok,
             good = good & (jnp.linalg.norm(rt[3:] - pred[3:]) < pnp_guard)
         extr = jnp.where(good, rt, pred)
         eff = ok & inl & good
+
+        if tlm:
+            # ---- guided local-map second pass (= _track_local_map) ----
+            R = se3.aa_to_rotmat(extr[None, :3])[0]
+            xc = lm_xyz @ R.T + extr[3:]
+            z = xc[:, 2]
+            zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+            u = K4[0] * xc[:, 0] / zs + K4[2]
+            v = K4[1] * xc[:, 1] / zs + K4[3]
+            vis = (z > 0.05) & (u >= -window_px) & (u < width + window_px) \
+                & (v >= -window_px) & (v < height + window_px)
+            # exclude landmarks already in this frame's association set
+            sid_ok = jnp.where(ok, sid_p, N)
+            excl = jnp.zeros(N, bool).at[sid_ok].set(True, mode="drop")
+            # keypoints still free (not matched to a tracked landmark)
+            kp_assoc = jnp.zeros(M, bool).at[
+                jnp.where(ok, safe, M)].set(True, mode="drop")
+            kp_free = f.valid & ~kp_assoc
+            idx2, _d2 = match_descriptors(
+                lm_desc, f.desc, valid_a=lm_valid & vis & ~excl,
+                valid_b=kp_free, metric="hamming", ratio=0.9,
+                max_dist=search_max,
+            )
+            safe2 = jnp.clip(idx2, 0, None)
+            d_px2 = jnp.sum((f.xy[safe2] - jnp.stack([u, v], -1)) ** 2, -1)
+            hit = (idx2 >= 0) & (d_px2 < window_px * window_px)
+
+            # re-solve over the enlarged set
+            P2 = jnp.concatenate([xyz_p, lm_xyz])
+            U2 = jnp.concatenate([f.xy[safe], f.xy[safe2]])
+            S2 = jnp.concatenate([f.sigma2[safe], f.sigma2[safe2]])
+            V2 = jnp.concatenate([ok, hit])
+            # host parity: motion_only pads to max_track_obs with first-N
+            # truncation of the concatenated association list
+            V2 = V2 & (jnp.cumsum(V2) <= max_obs)
+            rt2, inl2 = motion_only_ba(
+                K4, extr[None], P2[None], U2[None], S2[None], V2[None], mcfg,
+            )
+            rt2, inl2 = rt2[0], inl2[0]
+            good2 = jnp.sum(V2) >= min_track
+            if pnp_guard is not None:
+                good2 = good2 & (jnp.linalg.norm(rt2[3:] - extr[3:])
+                                 < pnp_guard)
+            use2 = jnp.any(hit) & good2 & (
+                jnp.sum(inl2 & V2) >= jnp.sum(ok & inl & good))
+            extr = jnp.where(use2, rt2, extr)
+            eff = jnp.where(use2, ok & inl2[:M], eff)
+            eff_tlm = hit & inl2[M:] & use2
+        else:
+            hit = jnp.zeros(N, bool)
+            eff_tlm = hit
+            rt2 = rt
+            inl2 = jnp.zeros(M + N, bool)
+            use2 = jnp.asarray(False)
+            idx2 = jnp.full(N, -1, jnp.int32)
+
         # propagate landmark state through the (injective) match permutation:
         # current keypoint j inherits prev keypoint i's landmark iff i was an
         # effective inlier association (== the host's kp_pt write rule)
         tgt = jnp.where(eff, safe, M)  # M = out-of-bounds drop slot
         xyz_n = jnp.zeros_like(xyz_p).at[tgt].set(xyz_p, mode="drop")
         ok_n = jnp.zeros_like(ok_p).at[tgt].set(eff, mode="drop")
-        carry_n = (f.desc, f.valid, xyz_n, ok_n, extr, extr1)
+        sid_n = jnp.full(M, N, jnp.int32).at[tgt].set(sid_p, mode="drop")
+        if tlm:
+            tgt2 = jnp.where(eff_tlm, jnp.clip(idx2, 0, None), M)
+            xyz_n = xyz_n.at[tgt2].set(lm_xyz, mode="drop")
+            ok_n = ok_n.at[tgt2].set(eff_tlm, mode="drop")
+            sid_n = sid_n.at[tgt2].set(
+                jnp.arange(N, dtype=jnp.int32), mode="drop")
+        carry_n = (f.desc, f.valid, xyz_n, ok_n, sid_n, extr, extr1)
         out = (f.xy, f.octave, f.sigma2, f.desc, f.valid, idx, dist, ok, inl,
-               rt)
+               rt, hit, idx2, inl2, rt2, use2)
         return carry_n, out
 
-    init = (prev_desc, prev_valid, prev_xyz, prev_ok,
+    init = (prev_desc, prev_valid, prev_xyz, prev_ok, prev_sid,
             last_extr.astype(jnp.float32), prev_extr.astype(jnp.float32))
     _, outs = jax.lax.scan(step, init, grays)
     return outs
@@ -408,7 +492,7 @@ class BundleAdjustmentPipeline:
             if prev.desc_dev is None:
                 prev.desc_dev = jnp.asarray(prev.desc)
                 prev.valid_dev = jnp.asarray(prev.valid)
-            xyz, okm = self._prev_track
+            xyz, okm, _ids = self._prev_track
             mcfg = MotionOnlyConfig(
                 outer_iters=self.cfg.motion_outer,
                 inner_iters=self.cfg.motion_inner,
@@ -433,23 +517,65 @@ class BundleAdjustmentPipeline:
             )
             return feats, idx, dist, ok, rt.astype(np.float64), inl
 
+    def _tlm_snapshot(self):
+        """Batch-start snapshot of the trackable (>=2-obs) landmarks for the
+        in-scan guided local-map pass: (ids, xyz, desc, valid) padded to a
+        power-of-two bucket.  Frozen within a tracking batch — the map only
+        mutates at keyframes, which end the batch."""
+        m = self.map
+        cand = m.active_points()
+        if len(cand):
+            well = m.point_obs_counts(cand) >= 2
+            cand = np.sort(cand[well])
+        # x4 bucket steps from 1024: every distinct snapshot capacity is a
+        # full recompile of the batch scan (~minutes through a compile
+        # relay), so the bucket family is kept tiny (1024, 4096, 16384, ...)
+        N = 1024
+        while N < len(cand):
+            N *= 4
+        xyz = np.zeros((N, 3), np.float32)
+        desc = np.zeros((N, m.desc_words), np.uint32)
+        valid = np.zeros(N, bool)
+        n = len(cand)
+        xyz[:n] = m.pt_pos[cand]
+        desc[:n] = m.pt_desc[cand]
+        valid[:n] = True
+        return cand.astype(np.int64), xyz, desc, valid
+
     def _track_batch(self, grays):
         """Run the device-resident tracking microbatch over `grays`.
 
-        Returns one precomputed tuple per input frame, shaped exactly like
-        the single-frame fused path's outputs: (feats, matches, dists,
-        assoc_ok, rt6, inliers).
+        Returns one precomputed tuple per input frame, shaped like the
+        single-frame fused path's outputs plus the local-map second-pass
+        results: (feats, matches, dists, assoc_ok, rt6, inliers, tlm_pre)
+        where tlm_pre is None or a dict with the snapshot hits and the
+        re-solved pose.
         """
         prev = self.last_feats
         if prev.desc_dev is None:
             prev.desc_dev = jnp.asarray(prev.desc)
             prev.valid_dev = jnp.asarray(prev.valid)
-        xyz, okm = self._prev_track
+        xyz, okm, kp_ptid = self._prev_track
         mcfg = MotionOnlyConfig(
             outer_iters=self.cfg.motion_outer,
             inner_iters=self.cfg.motion_inner,
             robust=self.cfg.estimation == "ba",
         )
+        use_tlm = (self.cfg.track_local_map
+                   and self.cfg.estimation in ("ba", "pnp"))
+        if use_tlm:
+            snap_ids, lm_xyz, lm_desc, lm_valid = self._tlm_snapshot()
+            # snapshot index per prev keypoint (N = "none" slot)
+            sid = np.full(len(kp_ptid), len(lm_xyz), np.int32)
+            has = kp_ptid >= 0
+            sid[has] = np.searchsorted(snap_ids, kp_ptid[has]).astype(
+                np.int32)
+        else:
+            snap_ids = np.zeros(0, np.int64)
+            lm_xyz = np.zeros((256, 3), np.float32)
+            lm_desc = np.zeros((256, self.map.desc_words), np.uint32)
+            lm_valid = np.zeros(256, bool)
+            sid = np.full(len(kp_ptid), 256, np.int32)
         B = len(grays)
         cap = max(int(self.cfg.track_batch), 1)
         gstack = np.stack([np.asarray(g, np.float32) for g in grays])
@@ -460,7 +586,9 @@ class BundleAdjustmentPipeline:
         with self.timers.phase("frontend"):
             out = _track_batch_jit(
                 jnp.asarray(gstack), prev.desc_dev, prev.valid_dev,
-                jnp.asarray(xyz), jnp.asarray(okm),
+                jnp.asarray(xyz), jnp.asarray(okm), jnp.asarray(sid),
+                jnp.asarray(lm_xyz), jnp.asarray(lm_desc),
+                jnp.asarray(lm_valid),
                 jnp.asarray(self.last_extr, jnp.float32),
                 jnp.asarray(self.prev_extr, jnp.float32),
                 jnp.asarray(self.K4),
@@ -471,10 +599,12 @@ class BundleAdjustmentPipeline:
                 min_track=self.cfg.min_track_points,
                 pnp_guard=(self.cfg.pnp_translation_guard
                            if self.cfg.estimation == "pnp" else None),
+                tlm=use_tlm, window_px=float(self.cfg.track_window_px),
+                search_max=float(self.cfg.search_max_dist),
+                width=self.width, height=self.height,
             )
-            xy, octv, sig2, desc, valid, idx, dist, ok, inl, rt = (
-                jax.device_get(out)
-            )
+            (xy, octv, sig2, desc, valid, idx, dist, ok, inl, rt,
+             hit, idx2, inl2, rt2, use2) = jax.device_get(out)
         desc_dev, valid_dev = out[3], out[4]  # device-resident [B, ...]
         pre = []
         for k in range(B):
@@ -483,8 +613,15 @@ class BundleAdjustmentPipeline:
                 desc=desc[k], valid=valid[k],
                 desc_dev=desc_dev[k], valid_dev=valid_dev[k],
             )
+            tlm_pre = None
+            if use_tlm:
+                tlm_pre = {
+                    "snap_ids": snap_ids, "hit": hit[k], "kp": idx2[k],
+                    "inl2": inl2[k], "rt2": rt2[k].astype(np.float64),
+                    "use2": bool(use2[k]),
+                }
             pre.append((feats, idx[k], dist[k], ok[k],
-                        rt[k].astype(np.float64), inl[k]))
+                        rt[k].astype(np.float64), inl[k], tlm_pre))
         return pre
 
     def _can_batch_track(self):
@@ -492,7 +629,6 @@ class BundleAdjustmentPipeline:
             self.cfg.track_batch > 1
             and self.initialized
             and self.cfg.fused_tracking
-            and not self.cfg.track_local_map
             and self.cfg.estimation in ("ba", "pnp")
             and getattr(self, "_prev_track", None) is not None
         )
@@ -619,7 +755,8 @@ class BundleAdjustmentPipeline:
     def _capture_track_state(self, slot, feats):
         """Host-side capture of the new last frame's per-keypoint landmark
         state (for the next frame's fused association): positions of the
-        associated landmarks and the well-observed (>=2 obs) mask."""
+        associated landmarks, the well-observed (>=2 obs) mask, and the
+        landmark ids (for the batch path's local-map snapshot indexing)."""
         if not (self.cfg.fused_tracking
                 and self.cfg.estimation in ("ba", "pnp")):
             self._prev_track = None
@@ -631,7 +768,8 @@ class BundleAdjustmentPipeline:
         ok = has & (m.point_obs_counts(kp_pt) >= 2)
         xyz = np.zeros((M, 3), np.float32)
         xyz[has] = m.pt_pos[kp_pt[has]]
-        self._prev_track = (xyz, ok)
+        ids = np.where(ok, kp_pt, -1)
+        self._prev_track = (xyz, ok, ids)
 
     # ------------------------------------------------------------------
     # bundle adjustment wrappers
@@ -1645,10 +1783,11 @@ class BundleAdjustmentPipeline:
         # frame when tracking, reference frame when awaiting init): one
         # device dispatch instead of two
         prev = self.last_feats if self.initialized else self.ref_feats
-        fused_rt = fused_inl = assoc_ok = pred_extr = None
+        fused_rt = fused_inl = assoc_ok = pred_extr = tlm_pre = None
         if precomputed is not None:
             pred_extr = self._predict_extr()
-            feats, matches, dists, assoc_ok, fused_rt, fused_inl = precomputed
+            (feats, matches, dists, assoc_ok, fused_rt, fused_inl,
+             tlm_pre) = precomputed
         elif prefeats is not None:
             feats = prefeats
             if prev is not None:
@@ -1790,6 +1929,20 @@ class BundleAdjustmentPipeline:
                 if cfg.estimation == "pnp" and np.linalg.norm(
                         extr[3:] - pred_extr[3:]) >= cfg.pnp_translation_guard:
                     extr, inl = pred_extr, np.zeros(len(assoc_pt), bool)
+            if (tlm_pre is not None and tlm_pre["use2"]
+                    and len(assoc_pt) >= cfg.min_track_points):
+                # the batch scan's in-device local-map second pass won:
+                # adopt its enlarged association set and re-solved pose
+                hit = np.nonzero(tlm_pre["hit"])[0]
+                Mkp = len(feats.desc)
+                assoc_pt = np.concatenate(
+                    [assoc_pt, tlm_pre["snap_ids"][hit]])
+                assoc_kp = np.concatenate(
+                    [assoc_kp, tlm_pre["kp"][hit].astype(np.int64)])
+                inl = np.concatenate(
+                    [tlm_pre["inl2"][:Mkp][ok_idx],
+                     tlm_pre["inl2"][Mkp:][hit]])
+                extr = tlm_pre["rt2"]
         else:
             extr, inl = self._estimate_pose(
                 feats, assoc_pt, assoc_kp, pred_extr, matches
@@ -1797,8 +1950,10 @@ class BundleAdjustmentPipeline:
 
         # second pass: guided matching against the projected local map, then
         # re-estimate (track-local-map; beyond the reference's last-frame-only
-        # association — see PipelineConfig.track_local_map)
-        if cfg.track_local_map and cfg.estimation in ("ba", "pnp"):
+        # association — see PipelineConfig.track_local_map).  The batch path
+        # already ran this inside the scan (tlm_pre above).
+        if (cfg.track_local_map and cfg.estimation in ("ba", "pnp")
+                and precomputed is None):
             assoc_pt2, assoc_kp2 = self._track_local_map(feats, extr, assoc_pt, assoc_kp)
             if len(assoc_pt2) > len(assoc_pt):
                 extr2, inl2 = self._estimate_pose(

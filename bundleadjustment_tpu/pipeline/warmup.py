@@ -129,20 +129,38 @@ class CompileWarmer:
             tasks.append(("track_fused", t_fused))
 
             if cfg.track_batch > 1:
-                def t_batch():
-                    drv._track_batch_jit(
-                        jnp.zeros((cfg.track_batch, H, W), jnp.float32),
-                        desc, valid, jnp.zeros((M, 3), jnp.float32),
-                        jnp.zeros((M,), bool), jnp.zeros((6,), jnp.float32),
-                        jnp.zeros((6,), jnp.float32), K4,
-                        feat_cfg=pipe.feat_cfg, ratio=cfg.match_ratio,
-                        use_pallas=pipe._use_pallas_matcher,
-                        assoc_max=cfg.assoc_max_dist, mcfg=mcfg,
-                        max_obs=cfg.max_track_obs,
-                        min_track=cfg.min_track_points,
-                        pnp_guard=(cfg.pnp_translation_guard
-                                   if cfg.estimation == "pnp" else None))
-                tasks.append(("track_batch", t_batch))
+                use_tlm = cfg.track_local_map
+                N0 = 1024  # first snapshot bucket (driver._tlm_snapshot)
+
+                def make_batch(N):
+                    def t_batch():
+                        drv._track_batch_jit(
+                            jnp.zeros((cfg.track_batch, H, W), jnp.float32),
+                            desc, valid, jnp.zeros((M, 3), jnp.float32),
+                            jnp.zeros((M,), bool),
+                            jnp.full((M,), N, jnp.int32),
+                            jnp.zeros((N, 3), jnp.float32),
+                            jnp.zeros((N, pipe.map.desc_words), jnp.uint32),
+                            jnp.zeros((N,), bool),
+                            jnp.zeros((6,), jnp.float32),
+                            jnp.zeros((6,), jnp.float32), K4,
+                            feat_cfg=pipe.feat_cfg, ratio=cfg.match_ratio,
+                            use_pallas=pipe._use_pallas_matcher,
+                            assoc_max=cfg.assoc_max_dist, mcfg=mcfg,
+                            max_obs=cfg.max_track_obs,
+                            min_track=cfg.min_track_points,
+                            pnp_guard=(cfg.pnp_translation_guard
+                                       if cfg.estimation == "pnp" else None),
+                            tlm=use_tlm,
+                            window_px=float(cfg.track_window_px),
+                            search_max=float(cfg.search_max_dist),
+                            width=pipe.width, height=pipe.height)
+                    return t_batch
+                tasks.append(("track_batch", make_batch(N0)))
+                if use_tlm:
+                    # second snapshot bucket: maps cross 1024 landmarks
+                    # within a few keyframes at protocol feature counts
+                    tasks.append(("track_batch_4k", make_batch(4 * N0)))
 
         # 3. pairwise triangulation buckets (keyframe + init path)
         def make_tri(cap):

@@ -150,7 +150,8 @@ def test_batched_tracking_matches_per_frame():
     ds = frames_to_framedata(frames)
     base = dict(init_type="gtdepth", estimation="ba", n_features=200,
                 n_levels=3, local_ba=False, final_ba_outer=1,
-                final_ba_iters=10, fused_tracking=True)
+                final_ba_iters=10, fused_tracking=True,
+                track_local_map=False)  # base-path parity; tlm has its own
     pipe_b = BundleAdjustmentPipeline(
         PipelineConfig(track_batch=4, **base), K4, 160, 120)
     pipe_1 = BundleAdjustmentPipeline(
@@ -180,7 +181,8 @@ def test_batched_tracking_pnp_guard_parity():
     ds = frames_to_framedata(frames)
     base = dict(init_type="gtdepth", estimation="pnp", n_features=200,
                 n_levels=3, local_ba=False, final_ba_outer=1,
-                final_ba_iters=10, fused_tracking=True)
+                final_ba_iters=10, fused_tracking=True,
+                track_local_map=False)
     pipe_b = BundleAdjustmentPipeline(
         PipelineConfig(track_batch=4, **base), K4, 160, 120)
     pipe_1 = BundleAdjustmentPipeline(
@@ -192,3 +194,54 @@ def test_batched_tracking_pnp_guard_parity():
     ts_1, m_1 = pipe_1.trajectory_cam_to_world()
     assert len(ts_b) == len(ts_1)
     np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_1), atol=1e-3)
+
+
+def test_batched_tlm_matches_per_frame():
+    """The in-scan local-map second pass (tlm stage of _track_batch_jit)
+    must reproduce the per-frame host path's guided matching + re-solve.
+
+    Exact discrete parity is not guaranteed — the batch snapshot does not
+    see representative-descriptor refreshes from tracked frames WITHIN the
+    batch (documented staleness < track_batch frames), and the host path
+    projects in f64 — so the assertions are: same statuses, same keyframe
+    count, near-identical trajectory, and map sizes within a small delta.
+    """
+    frames, K4 = render_plane_sequence(
+        n_frames=12, width=160, height=120, motion_step=0.05,
+        fx=150.0, fy=150.0,
+    )
+    ds = frames_to_framedata(frames)
+    base = dict(init_type="gtdepth", estimation="ba", n_features=200,
+                n_levels=3, local_ba=False, final_ba_outer=1,
+                final_ba_iters=10, fused_tracking=True,
+                track_local_map=True)
+    pipe_b = BundleAdjustmentPipeline(
+        PipelineConfig(track_batch=4, **base), K4, 160, 120)
+    pipe_1 = BundleAdjustmentPipeline(
+        PipelineConfig(track_batch=1, **base), K4, 160, 120)
+    st_b = pipe_b.process_frames(ds)
+    st_1 = [pipe_1.process_frame(f) for f in ds]
+    pipe_b.finalize()
+    pipe_1.finalize()
+    assert st_b == st_1
+    assert pipe_b.stats["keyframes"] == pipe_1.stats["keyframes"]
+    n_b = len(pipe_b.map.active_points())
+    n_1 = len(pipe_1.map.active_points())
+    assert abs(n_b - n_1) <= max(0.02 * n_1, 2), (n_b, n_1)
+    ts_b, m_b = pipe_b.trajectory_cam_to_world()
+    ts_1, m_1 = pipe_1.trajectory_cam_to_world()
+    assert len(ts_b) == len(ts_1)
+    # 1-2 guided associations per frame legitimately differ (the snapshot's
+    # descriptor staleness); assert equivalence at the ATE level instead of
+    # pose-wise, plus closely matching guided-association counts
+    gt_ts = np.array([f["timestamp"] for f in frames])
+    gt_xyz = np.array([f["gt_cam_to_world"][:3, 3] for f in frames])
+    ate_b = evaluate_ate(ts_b, m_b[:, :3, 3], gt_ts, gt_xyz)["rmse"]
+    ate_1 = evaluate_ate(ts_1, m_1[:, :3, 3], gt_ts, gt_xyz)["rmse"]
+    assert ate_b < 0.06 and ate_1 < 0.06, (ate_b, ate_1)
+    assert abs(ate_b - ate_1) < 0.01, (ate_b, ate_1)
+    cnt_b = [0 if r.assoc_pt is None else len(r.assoc_pt)
+             for r in pipe_b.trajectory]
+    cnt_1 = [0 if r.assoc_pt is None else len(r.assoc_pt)
+             for r in pipe_1.trajectory]
+    assert all(abs(a - b) <= 3 for a, b in zip(cnt_b, cnt_1)), (cnt_b, cnt_1)
