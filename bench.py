@@ -257,10 +257,11 @@ def main():
     from bundleadjustment_tpu.utils.marginal import measure_marginal
 
     sc, dense, n_obs = build_problem()
+    O_actual = int(dense.cam_idx.shape[1])  # densify trims unused O slots
 
     default_dev = jax.devices()[0]
     iters_dev, cost0, cost = time_solve(default_dev, sc, dense)
-    roof = roofline(iters_dev, N_CAMS, N_PTS, MAX_OBS, default_dev,
+    roof = roofline(iters_dev, N_CAMS, N_PTS, O_actual, default_dev,
                     solver="dense")
 
     # marginal per-iteration device time: least-squares slope of wall time
@@ -276,7 +277,7 @@ def main():
     # the relay's few-ms run-to-run noise (stderr is reported either way)
     fit = measure_marginal(_t, iter_counts=(16, 48, 96, 144), repeats=3)
     marginal_iter_s = fit["iters_per_s"]
-    roof_marginal = roofline(marginal_iter_s, N_CAMS, N_PTS, MAX_OBS,
+    roof_marginal = roofline(marginal_iter_s, N_CAMS, N_PTS, O_actual,
                              default_dev, solver="dense")
 
     # frontend speed-of-light: batched detection amortizes the dispatch

@@ -266,11 +266,17 @@ def _track_batch_jit(grays, prev_desc, prev_valid, prev_xyz, prev_ok,
             kp_assoc = jnp.zeros(M, bool).at[
                 jnp.where(ok, safe, M)].set(True, mode="drop")
             kp_free = f.valid & ~kp_assoc
-            idx2, _d2 = match_descriptors(
-                lm_desc, f.desc, valid_a=lm_valid & vis & ~excl,
-                valid_b=kp_free, metric="hamming", ratio=0.9,
-                max_dist=search_max,
-            )
+            cand_ok = lm_valid & vis & ~excl
+            if use_pallas:  # bit-identical to the XLA matcher, no [N, M]
+                idx2, _d2 = match_descriptors_fused(
+                    lm_desc, f.desc, valid_a=cand_ok, valid_b=kp_free,
+                    ratio=0.9, max_dist=search_max,
+                )
+            else:
+                idx2, _d2 = match_descriptors(
+                    lm_desc, f.desc, valid_a=cand_ok, valid_b=kp_free,
+                    metric="hamming", ratio=0.9, max_dist=search_max,
+                )
             safe2 = jnp.clip(idx2, 0, None)
             d_px2 = jnp.sum((f.xy[safe2] - jnp.stack([u, v], -1)) ** 2, -1)
             hit = (idx2 >= 0) & (d_px2 < window_px * window_px)

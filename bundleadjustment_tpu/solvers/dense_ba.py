@@ -72,11 +72,6 @@ def densify_problem(K4, cam_idx, pt_idx, uv, sigma2, valid, cam_fixed,
     valid = np.asarray(valid)
 
     L = n_points
-    ci = np.zeros((L, max_obs), np.int32)
-    uvd = np.zeros((L, max_obs, 2), np.float32)
-    sg = np.ones((L, max_obs), np.float32)
-    vd = np.zeros((L, max_obs), bool)
-
     # vectorized grouping: stable-sort valid observations by landmark, rank
     # within each group, scatter ranks < max_obs into the dense slots
     vi = np.nonzero(valid)[0]
@@ -92,6 +87,18 @@ def densify_problem(K4, cam_idx, pt_idx, uv, sigma2, valid, cam_fixed,
         ranks = np.zeros(0, np.int64)
     keep = ranks < max_obs
     dropped = int(len(p) - keep.sum())
+
+    # trim the O axis to the ACTUAL max slots used (rounded up to the
+    # 8-sublane multiple): every [O, L] plane in the solver — eval, W carry,
+    # Q expansion, accept/reject selects — scales with O, and a requested
+    # max_obs of 16 on an 8-obs-per-landmark problem would double all of it
+    # for all-invalid padding columns (measured 64c/10k: ~1.5x marginal)
+    used = int(ranks[keep].max()) + 1 if keep.any() else 1
+    max_obs = min(max_obs, max(8, ((used + 7) // 8) * 8))
+    ci = np.zeros((L, max_obs), np.int32)
+    uvd = np.zeros((L, max_obs, 2), np.float32)
+    sg = np.ones((L, max_obs), np.float32)
+    vd = np.zeros((L, max_obs), bool)
     lk, sk, nk = p[keep], ranks[keep], vi[keep]
     ci[lk, sk] = cam_idx[nk]
     uvd[lk, sk] = uv[nk]
@@ -125,7 +132,8 @@ def densify_problem_auto(K4, cam_idx, pt_idx, uv, sigma2, valid, cam_fixed,
             max_obs=max_obs,
         )
         if dropped == 0 or max_obs >= max_obs_cap:
-            return dense, dropped, max_obs
+            # report the ACTUAL O (densify trims trailing unused slots)
+            return dense, dropped, int(dense.cam_idx.shape[1])
         max_obs *= 2
 
 
@@ -536,20 +544,23 @@ def _make_step(cm: _CM, config: LMConfig, psum=None):
         )
 
         O, L = cm.cam_t.shape
-        U, g_c = _damp_U_cm(cm, red, lam)
         interpret = jax.default_backend() != "tpu"
         if fused_schur_s_supported(O, L, K) and single:
-            # single-device: the kernel folds the damped U embed + jitter
-            # and emits the final Schur matrix, ready for Cholesky
-            S, zv, vinv6, red6 = fused_schur_prepare_s(
+            # single-device: the kernel damps U from the carried raw rows
+            # and folds embed + jitter + rhs assembly, emitting the final
+            # Schur system in (i, k) row order — a symmetric permutation,
+            # so Cholesky solves it directly and only the tiny [6, K]
+            # solution transposes back (round-5: removes ~8 small XLA ops
+            # + launches per LM iteration)
+            S, zv, vinv6, b = fused_schur_prepare_s(
                 lam, Vu, g_p, cm.pt_valid, W.reshape(18, O, L), cm.cam_t, K,
-                U36=U.transpose(1, 2, 0).reshape(36, K),
+                red27=red, cam_fixed=cm.cam_fixed,
                 s_bf16=not interpret, interpret=interpret)
-            b = -(g_c - red6)
             dc = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(S), b.reshape(-1)
-            ).reshape(K, 6)
+                jax.scipy.linalg.cho_factor(S), b
+            ).reshape(6, K).T
             return dc, vinv6
+        U, g_c = _damp_U_cm(cm, red, lam)
         if fused_schur_s_supported(O, L, K):
             # s_bf16 matches XLA's DEFAULT TPU matmul precision (bf16
             # multiply, f32 accumulate) that the replaced Pf/QQ^T pair used;

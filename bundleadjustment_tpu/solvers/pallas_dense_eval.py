@@ -582,14 +582,18 @@ def fused_schur_prepare(lam, Vu, g_p, pt_valid, W18, cam_t, n_cams,
 
 
 def _schur_s_kernel(lam_ref, *refs, O, LT, K, s_bf16, fold_u):
-    """fold_u=True additionally receives the damped camera blocks U as a
-    [36, K] input ((i,i')-major rows) and emits the FINAL Schur matrix
-    S = U_embed + 1e-8 I - QQ^T directly (single-device path: saves the
-    XLA-side embed/jitter/negate kernels).  fold_u=False emits +QQ^T (the
-    sharded path psums it before adding the replicated U)."""
+    """fold_u=True additionally receives the UNDAMPED reduced camera rows
+    red [27, K] (21 upper-triangle U rows + 6 gradient rows) and the fixed-
+    camera mask, computes the damped U and g_c IN-KERNEL, and emits the
+    FINAL Schur matrix S' = U_embed + 1e-8 I - QQ^T in (i, k) row order
+    plus the camera rhs b = -(g_c - red6) finalized on the last tile —
+    the XLA-side damp/embed/jitter/negate/un-permute/b-assembly ops (and
+    their per-iteration launch overhead) all disappear into this kernel.
+    fold_u=False emits +QQ^T (the sharded path psums it before adding the
+    replicated U outside)."""
     if fold_u:
-        u_ref, vu_ref, gp_ref, ptv_ref, w_ref, cam_ref = refs[:6]
-        s_ref, zv_out, vinv_out, red6_ref = refs[6:]
+        red_ref, fixed_ref, vu_ref, gp_ref, ptv_ref, w_ref, cam_ref = refs[:7]
+        s_ref, zv_out, vinv_out, red6_ref = refs[7:]
     else:
         vu_ref, gp_ref, ptv_ref, w_ref, cam_ref = refs[:5]
         s_ref, zv_out, vinv_out, red6_ref = refs[5:]
@@ -663,6 +667,8 @@ def _schur_s_kernel(lam_ref, *refs, O, LT, K, s_bf16, fold_u):
     # the tiny [6K, 6K] block in XLA.
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, LT), 0)
     ohs = [(iota_k == cam[o][None, :]).astype(f32) for o in range(O)]
+    # (A/B'd round 5: one concatenated [6K, 3*LT] dot measured no faster —
+    # the VMEM concat copy offsets the saved MXU pipeline fills)
     s_contrib = jnp.zeros((6 * K, 6 * K), f32)
     for m in range(3):
         slabs = [
@@ -679,6 +685,23 @@ def _schur_s_kernel(lam_ref, *refs, O, LT, K, s_bf16, fold_u):
         )
 
     if fold_u:
+        # damped U rows + masked gradient from the raw reduced rows
+        # (= _damp_U_cm, in-kernel): U[i,i'] = red[SYM6_IDX], diagonal
+        # damping from the UNDAMPED diagonal, identity rows for fixed cams
+        red27 = red_ref[...]  # [27, K]
+        fixedm = fixed_ref[0, :] > 0.5  # [K]
+        sym_idx = [[0, 1, 2, 3, 4, 5], [1, 6, 7, 8, 9, 10],
+                   [2, 7, 11, 12, 13, 14], [3, 8, 12, 15, 16, 17],
+                   [4, 9, 13, 16, 18, 19], [5, 10, 14, 17, 19, 20]]
+        urows = []
+        for i in range(6):
+            for ip in range(6):
+                r = red27[sym_idx[i][ip]]
+                if i == ip:
+                    r = r + lam * jnp.clip(r, 1e-6, None)
+                r = jnp.where(fixedm, 1.0 if i == ip else 0.0, r)
+                urows.append(r)
+
         # init with the block-diagonal U embed (+ jitter) in (i,k) order:
         # S'[i*K+k, i'*K+k] = U[k, i, i'] — built from 36 diagonal [K, K]
         # blocks — then subtract QQ^T contributions per tile
@@ -687,7 +710,7 @@ def _schur_s_kernel(lam_ref, *refs, O, LT, K, s_bf16, fold_u):
                   ).astype(f32)
         rows = []
         for i in range(6):
-            blocks = [diag_k * u_ref[i * 6 + ip][None, :] for ip in range(6)]
+            blocks = [diag_k * urows[i * 6 + ip][None, :] for ip in range(6)]
             rows.append(jnp.concatenate(blocks, axis=1))  # [K, 6K]
         u_embed = jnp.concatenate(rows, axis=0)  # [6K, 6K]
         eye = (jax.lax.broadcasted_iota(jnp.int32, (6 * K, 6 * K), 0)
@@ -703,6 +726,19 @@ def _schur_s_kernel(lam_ref, *refs, O, LT, K, s_bf16, fold_u):
         def _():
             red6_ref[...] += contrib
             s_ref[...] -= s_contrib
+
+        # last tile: finalize the camera rhs b = -(g_c - red6) in rows 0-5
+        # (the accumulated red6 lives in the same output ref; rows 6-7 are
+        # sublane padding)
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _():
+            acc = red6_ref[...]  # [8, K] accumulated (W zv) reduce rows
+            brows = []
+            for i in range(6):
+                g_c = jnp.where(fixedm, 0.0, red27[21 + i])
+                brows.append(-(g_c - acc[i]))
+            brows += [jnp.zeros_like(brows[0])] * (N_RHS_ROWS - 6)
+            red6_ref[...] = jnp.stack(brows)
     else:
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -745,17 +781,25 @@ def fused_schur_s_supported(O, L, K):
 
 @partial(jax.jit, static_argnames=("n_cams", "s_bf16", "interpret"))
 def fused_schur_prepare_s(lam, Vu, g_p, pt_valid, W18, cam_t, n_cams,
-                          U36=None, s_bf16=True, interpret=False):
+                          red27=None, cam_fixed=None, s_bf16=True,
+                          interpret=False):
     """Schur prepare + in-VMEM S accumulation.
 
-    Returns (S [6K, 6K], zv [3,L], vinv6 [6,L], red6 [K,6]).  Without U36,
-    S is the positive QQ^T term (sharded path: psum it, then add U
-    outside).  With U36 ([36, K]: the damped camera blocks, (i,i')-major
-    rows), S is the FINAL damped Schur matrix U_embed + 1e-8 I - QQ^T,
-    ready for Cholesky.  With s_bf16 the Q block feeds the MXU in bf16
-    with f32 accumulation — the same effective precision XLA's DEFAULT dot
-    uses for the Pf/QQ^T pair this replaces (measured: mxu_bf16 made no
-    timing or cost-trajectory difference, BASELINE.md round 3).
+    Without red27: returns (S_qqt [6K,6K] (k,i)-ordered positive QQ^T term,
+    zv [3,L], vinv6 [6,L], red6 [K,6]) — the sharded path psums S_qqt and
+    red6, then damps/embeds U outside.
+
+    With red27 ([K, 27]: the carried UNDAMPED reduced camera rows) and
+    cam_fixed [K]: the kernel damps U in-place and returns
+    (S' [6K,6K], zv, vinv6, b [6K]) where S' is the FINAL damped Schur
+    matrix in (i, k) ROW ORDER (a symmetric permutation — Cholesky-solve
+    directly in that order and transpose the tiny [6,K] solution back) and
+    b is the camera rhs -(g_c - red6) in the same order.
+
+    With s_bf16 the Q block feeds the MXU in bf16 with f32 accumulation —
+    the same effective precision XLA's DEFAULT dot uses for the Pf/QQ^T
+    pair this replaces (measured: mxu_bf16 made no timing or
+    cost-trajectory difference, BASELINE.md round 3).
     """
     O, L = cam_t.shape
     K = n_cams
@@ -777,7 +821,7 @@ def fused_schur_prepare_s(lam, Vu, g_p, pt_valid, W18, cam_t, n_cams,
 
     lam2 = jnp.asarray(lam, f32).reshape(1, 1)
     grid = (Lp // LT,)
-    fold_u = U36 is not None
+    fold_u = red27 is not None
     kern = partial(_schur_s_kernel, O=O, LT=LT, K=K, s_bf16=s_bf16,
                    fold_u=fold_u)
     in_specs = [
@@ -785,9 +829,14 @@ def fused_schur_prepare_s(lam, Vu, g_p, pt_valid, W18, cam_t, n_cams,
     ]
     inputs = [lam2]
     if fold_u:
-        in_specs.append(pl.BlockSpec((36, K), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM))
-        inputs.append(U36.astype(f32))
+        in_specs += [
+            pl.BlockSpec((27, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs += [red27.T.astype(f32),
+                   cam_fixed.astype(f32).reshape(1, K)]
     in_specs += [
         pl.BlockSpec((6, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, LT), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -821,6 +870,9 @@ def fused_schur_prepare_s(lam, Vu, g_p, pt_valid, W18, cam_t, n_cams,
     if pad:
         zv = zv[:, :L]
         vinv6 = vinv6[:, :L]
-    # kernel rows are (i, k)-ordered; un-permute to (k, i) blocks
+    if fold_u:
+        # S stays (i, k)-ordered; red6 rows 0-5 already hold b in that order
+        return S, zv, vinv6, red6[:6].reshape(-1)
+    # sharded path: un-permute to (k, i) blocks for the psum + XLA embed
     S = S.reshape(6, K, 6, K).transpose(1, 0, 3, 2).reshape(6 * K, 6 * K)
     return S, zv, vinv6, red6[:6].T

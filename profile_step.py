@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from bundleadjustment_tpu.data.synthetic import make_synthetic_scene
 from bundleadjustment_tpu.geometry.se3 import aa_to_rotmat
 from bundleadjustment_tpu.solvers.dense_ba import (
-    _damp_U_cm, _make_step, _to_cm, densify_problem,
+    _make_step, _to_cm, densify_problem,
 )
 from bundleadjustment_tpu.solvers.lm import LMConfig
 from bundleadjustment_tpu.solvers.pallas_dense_eval import (
@@ -52,20 +52,18 @@ cost0, red0, Vu0, gp0, W0 = fused_eval_assemble(
     R0, t0, Xt0, robust=True)
 W18_0 = W0.reshape(18, O, L)
 lam0 = jnp.asarray(0.01, jnp.float32)
-U0, gc0 = _damp_U_cm(cm, red0, lam0)
-S0, zv0, vinv0, red6_0 = fused_schur_prepare_s(
+S0, zv0, vinv0, b0 = fused_schur_prepare_s(
     lam0, Vu0, gp0, cm.pt_valid, W18_0, cm.cam_t, K,
-    U36=U0.transpose(1, 2, 0).reshape(36, K), s_bf16=True)
-b0 = -(gc0 - red6_0)
+    red27=red0, cam_fixed=cm.cam_fixed, s_bf16=True)
 
 
 @partial(jax.jit, static_argnames=("n",))
 def run_kernel3(n):
     def body(carry, _):
         lam, acc = carry
-        S, zv, vinv6, red6 = fused_schur_prepare_s(
+        S, zv, vinv6, b = fused_schur_prepare_s(
             lam, Vu0, gp0, cm.pt_valid, W18_0, cm.cam_t, K,
-            U36=U0.transpose(1, 2, 0).reshape(36, K), s_bf16=True)
+            red27=red0, cam_fixed=cm.cam_fixed, s_bf16=True)
         # serialize: next lam depends on this S (value-neutral)
         return (lam + 0.0 * S[0, 0], acc + S[0, 1]), None
     (lam, acc), _ = jax.lax.scan(body, (lam0, jnp.float32(0)), None, length=n)
@@ -92,8 +90,8 @@ def run_chol(n):
     def body(carry, _):
         b, acc = carry
         dc = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(Sc), b.reshape(-1)).reshape(K, 6)
-        return (b + 1e-20 * dc, acc + dc[0, 0]), None
+            jax.scipy.linalg.cho_factor(Sc), b).reshape(6, K).T
+        return (b + 1e-20 * dc.T.reshape(-1), acc + dc[0, 0]), None
     (b, acc), _ = jax.lax.scan(body, (b0, jnp.float32(0)), None, length=n)
     return acc
 
@@ -146,3 +144,24 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+@partial(jax.jit, static_argnames=("n",))
+def run_chain(n):
+    """kernel3 -> cho -> kernel_bs chained with carries, NO LM bookkeeping
+    (no accept/reject selects, no lambda schedule): the irreducible core.
+    full - chain = the cost of the XLA-side LM bookkeeping ops."""
+    def body(carry, _):
+        Xt, b_prev = carry
+        S, zv, vinv6, b = fused_schur_prepare_s(
+            lam0 + 0.0 * b_prev[0], Vu0, gp0, cm.pt_valid, W18_0, cm.cam_t,
+            K, red27=red0, cam_fixed=cm.cam_fixed, s_bf16=True)
+        dc = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(S), b).reshape(6, K).T
+        cost, red, Vu, gp, W, Xt_new = fused_eval_assemble_bs(
+            cm.K4, cm.cam_t, cm.uv_t, cm.inv_sigma_t, cm.valid_t,
+            cm.fixed_t, R0, t0, dc, Xt, W18_0, vinv0, gp0, cm.pt_valid,
+            robust=True)
+        return (Xt_new, b), None
+    (Xt, b), _ = jax.lax.scan(body, (Xt0, b0), None, length=n)
+    return Xt[0, 0]
