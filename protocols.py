@@ -523,6 +523,9 @@ def config7_global_10k(n_frames=100, n_features=2500, mode="single", seed=17):
         n_features=n_features, n_levels=8, keyframe_ratio=0.25,
         depth_landmarks=True, depth_landmarks_max=2000,
         global_ba_mode=mode,
+        # map-density protocol: guided local-map tracking would re-claim
+        # the free keypoints the depth seeds need for second observations
+        track_local_map=False,
     )
     K4 = np.array([525.0, 525.0, (640 - 1) / 2.0, (480 - 1) / 2.0],
                   np.float32)

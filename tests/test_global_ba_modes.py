@@ -88,6 +88,11 @@ def test_depth_landmarks_seeding():
             local_ba=True, final_ba_outer=1, final_ba_iters=10,
             keyframe_ratio=0.35, depth_landmarks=depth_landmarks,
             depth_landmarks_max=300,
+            # isolate the seeding mechanism: guided local-map tracking
+            # claims the same free keypoints the seeds need for their
+            # second observations (the 10k-map protocol likewise runs with
+            # it off to maximize density)
+            track_local_map=False,
         )
         ds = frames_to_framedata(frames)
         pipe = BundleAdjustmentPipeline(cfg, K4, 320, 240)

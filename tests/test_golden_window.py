@@ -34,4 +34,6 @@ def test_fr1_scale_golden_window():
     gt_xyz = np.array([f["gt_cam_to_world"][:3, 3] for f in frames])
     res = evaluate_ate(ts, mats[:, :3, 3], gt_ts, gt_xyz)
     assert res["rmse"] < 0.008, res
-    assert pipe.stats["keyframes"] >= 5
+    # >= 4 since round 5: default-on track-local-map keeps association
+    # ratios higher, so the same window legitimately needs fewer keyframes
+    assert pipe.stats["keyframes"] >= 4
