@@ -33,3 +33,21 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the in-process XLA:CPU executable state.
+
+    The full suite accumulates several hundred compiled programs in one
+    process; past ~90% of the suite the XLA:CPU compiler segfaulted
+    flakily in backend_compile_and_load (observed three times in round 5,
+    different tests, always late in the run; every affected module passes
+    in a fresh process).  Dropping the executable caches after each test
+    module keeps the compiler's cumulative state small; cross-module
+    recompiles cost seconds on CPU."""
+    yield
+    jax.clear_caches()
+    import gc
+
+    gc.collect()
