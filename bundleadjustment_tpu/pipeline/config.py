@@ -59,6 +59,15 @@ class PipelineConfig:
     track_window_px: float = 12.0  # projection search radius (level-0 px)
     tracking_fail_ratio: float = 1e-4  # BundleAdjustment.cpp:157-160
     min_track_points: int = 10
+    # keyframe need criteria beyond the reference's association ratio —
+    # ACTIVE ONLY when track_local_map is on: guided tracking keeps the
+    # last-frame association ratio high even as the local map decays
+    # (round-5 sweep: 120-frame handheld runs created 4-6 keyframes and
+    # drifted to 0.2-0.3 m ATE), so keyframe need is additionally signaled
+    # by inlier-count decay vs the last keyframe (ORB-SLAM's
+    # NeedNewKeyFrame reference-matches criterion) and a max interval
+    kf_ref_decay: float = 0.8
+    kf_max_interval: int = 20
     max_track_obs: int = 512  # padded 2D-3D capacity for motion-only BA
     fused_tracking: bool = True  # ba/pnp: run detect+match+associate+motion-
     #   only BA of a tracked frame as ONE device dispatch (latency win on

@@ -1998,11 +1998,28 @@ class BundleAdjustmentPipeline:
         )
 
         is_keyframe = assoc_ratio <= cfg.keyframe_ratio
+        if cfg.track_local_map and not is_keyframe:
+            # guided tracking keeps assoc_ratio high even as the local map
+            # decays (the reference's ratio alone starves keyframe
+            # creation): also trigger on inlier-count decay vs the last
+            # keyframe and on a maximum interval (ORB-SLAM NeedNewKeyFrame
+            # analogue; round-5 sweep diagnosis)
+            n_inl_now = int(np.sum(inl))
+            self._frames_since_kf = getattr(self, "_frames_since_kf", 0) + 1
+            ref = getattr(self, "_kf_ref_inliers", None)
+            if ref is not None and n_inl_now < cfg.kf_ref_decay * ref:
+                is_keyframe = True
+            elif self._frames_since_kf >= cfg.kf_max_interval:
+                is_keyframe = True
         if is_keyframe:
             m.set_keyframe(slot)
             self.kf_counter += 1
             self.stats["keyframes"] += 1
             self.trajectory[-1].is_keyframe = True
+            # reference inlier count for the keyframe-need decay criterion
+            self._kf_ref_inliers = max(int(np.sum(inl)),
+                                       cfg.min_track_points)
+            self._frames_since_kf = 0
 
             m.cull_recent_points(
                 self.kf_counter, cfg.cull_point_window, cfg.cull_point_min_obs
@@ -2149,6 +2166,19 @@ class BundleAdjustmentPipeline:
             rho = np.where(xc[:, 2] > 1e-6, rho, 1e4)
             return float(np.sum(np.where(V[b], rho, 0.0)))
 
+        def chi2_inlier_count(extr, b):
+            """chi2 < 5.991 inliers of record b's constraints at `extr` —
+            the same criterion motion_only_ba prunes with."""
+            R = np_se3.aa_to_R(extr[:3])
+            xc = P[b] @ R.T + extr[3:]
+            z = xc[:, 2]
+            zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+            u = self.K4[0] * xc[:, 0] / zs + self.K4[2]
+            v = self.K4[1] * xc[:, 1] / zs + self.K4[3]
+            chi2 = ((u - U[b, :, 0]) ** 2 + (v - U[b, :, 1]) ** 2) \
+                / np.maximum(S[b], 1e-12)
+            return int(np.sum(V[b] & (chi2 < 5.991) & (z > 1e-6)))
+
         # displacement guard: a legitimate post-BA correction moves a frame
         # by at most a few frame-steps of motion; larger jumps mean the
         # stored constraint set is stale (landmarks moved in BA / starved
@@ -2199,6 +2229,20 @@ class BundleAdjustmentPipeline:
             # that failure mode local while still accepting the many-frame-
             # step drift corrections the override exists for
             if disp > guard and not (strong and disp <= 10.0 * guard):
+                continue
+            # the re-solve must EXPLAIN MORE than the tracked pose does:
+            # lower Huber cost alone is trivially satisfied (the re-solve
+            # minimizes exactly that on a set the tracked pose never saw),
+            # and round-5 diagnosis showed cost-only acceptance degrading
+            # already-good online trajectories by 3-8x — ~60% of stored
+            # associations die before finalize (culling), and re-solving
+            # the surviving subset drags a good pose toward its biases.
+            # Requiring a strictly higher chi2-inlier count makes the
+            # refinement a no-op where tracking was already consistent
+            # while still rescuing genuinely drifted tails (a drifted pose
+            # scores few inliers on its own constraints).
+            n_inl_old = chi2_inlier_count(rec.extr, b)
+            if n_inl <= n_inl_old:
                 continue
             if huber_cost(rt[b], b) < huber_cost(rec.extr, b):
                 rec.extr = rt[b]
