@@ -418,7 +418,7 @@ def config5_replica_geometry(seed=15):
     }
 
 
-def config6_long_sequence(seed=16):
+def config6_long_sequence(seed=16, n_frames=500):
     """500-frame long-sequence protocol (round-3 VERDICT #4): the
     reference's default regime is `--frames 2000` with keyframe culling and
     local BA (`/root/reference/ba_project/src/main.cpp:48-64`,
@@ -435,7 +435,7 @@ def config6_long_sequence(seed=16):
     K4 = np.array([525.0, 525.0, 319.5, 239.5], np.float32)
     pipe6 = prewarm(cfg, K4, 640, 480)
     frames, _ = render_layered_scene(
-        n_frames=500, width=640, height=480, fx=525.0, fy=525.0,
+        n_frames=n_frames, width=640, height=480, fx=525.0, fy=525.0,
         trajectory="sweep", motion_step=0.04, rot_step=0.01, seed=seed,
     )
     # split-half compile counts: re-run the protocol body inline so the
@@ -449,9 +449,10 @@ def config6_long_sequence(seed=16):
         pipe = pipe6
         t_start = time.perf_counter()
         timings = []
-        statuses = pipe.process_frames(ds[:250], timings=timings)
+        half = n_frames // 2
+        statuses = pipe.process_frames(ds[:half], timings=timings)
         compiles_first_half = cc.count
-        statuses += pipe.process_frames(ds[250:], timings=timings)
+        statuses += pipe.process_frames(ds[half:], timings=timings)
         compiles_second_half = cc.count - compiles_first_half
         kfs_before_final = pipe.stats["keyframes"]
         ts_online, mats_online = pipe.trajectory_cam_to_world()
@@ -471,7 +472,7 @@ def config6_long_sequence(seed=16):
     active_kfs = len(pipe.map.active_keyframes())
     path_len = float(np.linalg.norm(np.diff(gt_xyz, axis=0), axis=1).sum())
     return {
-        "metric": "config6_long_sequence_500f",
+        "metric": f"config6_long_sequence_{n_frames}f",
         "ate_rmse_m": round(res["rmse"], 4),
         "ate_online_m": round(res["ate_online"], 4),
         "keyframe_ate_m": round(keyframe_ate(pipe, frames), 4),
@@ -483,7 +484,7 @@ def config6_long_sequence(seed=16):
                             if med == med else None),
         "relay_floor_ms": round(relay_s * 1e3, 2),
         "wall_s": round(wall, 1),
-        "frames": 500,
+        "frames": n_frames,
         "keyframes_created": kfs_before_final,
         "keyframes_active": active_kfs,
         "keyframes_culled": kfs_before_final - active_kfs,
