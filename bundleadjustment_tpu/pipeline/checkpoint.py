@@ -21,7 +21,7 @@ import json
 import numpy as np
 
 
-CHECKPOINT_VERSION = 2
+CHECKPOINT_VERSION = 3
 
 
 def save_checkpoint(path, pipe):
@@ -47,6 +47,13 @@ def save_checkpoint(path, pipe):
         ],
         np.float64,
     ).reshape(-1, 9)
+    # keyframe-relative anchors (v3): ref slot (-1 = none) + rel rt6 (nan)
+    traj_ref = np.array(
+        [-1 if rec.ref_kf is None else int(rec.ref_kf)
+         for rec in pipe.trajectory], np.int32)
+    traj_rel = np.array(
+        [rec.rel if rec.rel is not None else [np.nan] * 6
+         for rec in pipe.trajectory], np.float64).reshape(-1, 6)
 
     # per-record 2D-3D associations (variable length -> flat + offsets);
     # needed so finalize()'s trajectory refinement works after a resume
@@ -109,6 +116,8 @@ def save_checkpoint(path, pipe):
         pt_color=m.pt_color[:n_pt].copy(),
         links=links,
         trajectory=traj,
+        traj_ref=traj_ref,
+        traj_rel=traj_rel,
         assoc_off=assoc_off,
         has_assoc=has_assoc,
         assoc_pt=assoc_pt_flat,
@@ -211,17 +220,27 @@ def load_checkpoint(path, config=None):
         )
     off = z["assoc_off"]
     has_assoc = z["has_assoc"]
+    traj_ref = z["traj_ref"]
+    traj_rel = z["traj_rel"]
+    last_kf = None
     for i, row in enumerate(z["trajectory"]):
         a, b = int(off[i]), int(off[i + 1])
-        pipe.trajectory.append(
-            TrackRecord(
-                timestamp=float(row[0]),
-                slot=int(row[1]),
-                extr=np.asarray(row[2:8]),
-                is_keyframe=bool(row[8]),
-                assoc_pt=z["assoc_pt"][a:b].copy() if has_assoc[i] else None,
-                assoc_uv=z["assoc_uv"][a:b].copy() if has_assoc[i] else None,
-                assoc_sig=z["assoc_sig"][a:b].copy() if has_assoc[i] else None,
-            )
+        ref = None if traj_ref[i] < 0 else int(traj_ref[i])
+        rel = None if np.isnan(traj_rel[i, 0]) else traj_rel[i].copy()
+        rec = TrackRecord(
+            timestamp=float(row[0]),
+            slot=int(row[1]),
+            extr=np.asarray(row[2:8]),
+            is_keyframe=bool(row[8]),
+            ref_kf=ref,
+            rel=rel,
+            assoc_pt=z["assoc_pt"][a:b].copy() if has_assoc[i] else None,
+            assoc_uv=z["assoc_uv"][a:b].copy() if has_assoc[i] else None,
+            assoc_sig=z["assoc_sig"][a:b].copy() if has_assoc[i] else None,
         )
+        pipe.trajectory.append(rec)
+        if rec.is_keyframe:
+            last_kf = rec.slot
+    if last_kf is not None:
+        pipe._last_kf_slot = int(last_kf)
     return pipe

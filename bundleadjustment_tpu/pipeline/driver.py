@@ -387,6 +387,13 @@ class TrackRecord:
     slot: int
     extr: np.ndarray  # world->camera rt6 at tracking time
     is_keyframe: bool
+    # keyframe-relative anchoring (ORB-SLAM trajectory-output style): the
+    # pose RELATIVE to the most recent keyframe at tracking time.  When
+    # local/global BA later moves that keyframe, the tracked frame rides
+    # along — drift corrections propagate structurally, with none of the
+    # re-solve acceptance ambiguity (see _refine_trajectory's notes).
+    ref_kf: int | None = None
+    rel: np.ndarray | None = None  # extr o inv(kf_pose[ref_kf] at tracking)
     # inlier 2D-3D associations at tracking time (landmark ids + pixels) —
     # lets `finalize` re-track non-keyframes against the BA-refined map
     assoc_pt: np.ndarray | None = None
@@ -1859,6 +1866,7 @@ class BundleAdjustmentPipeline:
                 ok = self._init_standard(slot, feats, matches, dists)
             if ok:
                 self.initialized = True
+                self._last_kf_slot = slot
                 self.last_slot = slot
                 self.last_feats = feats
                 self._capture_track_state(slot, feats)
@@ -1980,9 +1988,14 @@ class BundleAdjustmentPipeline:
         m.refresh_point_descriptors(assoc_pt[np.nonzero(inl)[0]])
 
         inl_idx = np.nonzero(inl)[0]
+        # keyframe-relative anchor: the most recent keyframe at this moment
+        ref_kf = getattr(self, "_last_kf_slot", None)
+        rel = (np_se3.rt6_compose(extr, np_se3.rt6_inverse(m.kf_pose[ref_kf]))
+               if ref_kf is not None and m.kf_active[ref_kf] else None)
         self.trajectory.append(
             TrackRecord(
                 frame.timestamp, slot, extr.copy(), False,
+                ref_kf=ref_kf, rel=rel,
                 assoc_pt=assoc_pt[inl_idx].copy(),
                 assoc_uv=feats.xy[assoc_kp[inl_idx]].copy(),
                 assoc_sig=feats.sigma2[assoc_kp[inl_idx]].copy(),
@@ -2020,6 +2033,7 @@ class BundleAdjustmentPipeline:
             self._kf_ref_inliers = max(int(np.sum(inl)),
                                        cfg.min_track_points)
             self._frames_since_kf = 0
+            self._last_kf_slot = slot
 
             m.cull_recent_points(
                 self.kf_counter, cfg.cull_point_window, cfg.cull_point_min_obs
@@ -2090,6 +2104,7 @@ class BundleAdjustmentPipeline:
         ]
         if not recs:
             return
+        n_orig = {}  # id(rec) -> count of ORIGINAL (tracking-time) entries
         if self.cfg.refine_guided:
             # guided re-association against the post-final-BA map: the
             # tracking-time inlier list is sparse (last-frame matches only)
@@ -2102,8 +2117,11 @@ class BundleAdjustmentPipeline:
                 live = m.pt_active[rec.assoc_pt] == 1
                 ap = rec.assoc_pt[live].astype(np.int64)
                 ak = rec.assoc_kp[live].astype(np.int64)
-                ap2, ak2 = self._track_local_map(rec.feats, rec.extr, ap, ak)
+                ap2, ak2 = self._track_local_map(
+                    rec.feats, self._record_extr(rec), ap, ak)
                 if len(ap2) > len(ap):
+                    # the guided additions sit AFTER the original prefix
+                    n_orig[id(rec)] = len(ap)
                     rec.assoc_pt = ap2
                     rec.assoc_kp = ak2
                     rec.assoc_uv = rec.feats.xy[ak2].copy()
@@ -2114,6 +2132,11 @@ class BundleAdjustmentPipeline:
         U = np.zeros((B, M, 2), np.float32)
         S = np.ones((B, M), np.float32)
         V = np.zeros((B, M), bool)
+        # ORIG marks tracking-time constraints: the guided re-association
+        # matches landmarks within a pixel window AT the stored pose with a
+        # permissive ratio, so its additions are biased evidence — they
+        # strengthen the SOLVE but must not judge the acceptance
+        ORIG = np.zeros((B, M), bool)
         E0 = np.zeros((B, 6), np.float32)
         for b, rec in enumerate(recs):
             live = np.nonzero(m.pt_active[rec.assoc_pt] == 1)[0]
@@ -2131,7 +2154,8 @@ class BundleAdjustmentPipeline:
             U[b, :n] = rec.assoc_uv[live]
             S[b, :n] = rec.assoc_sig[live]
             V[b, :n] = True
-            E0[b] = rec.extr
+            ORIG[b, :n] = live < n_orig.get(id(rec), len(rec.assoc_pt))
+            E0[b] = self._record_extr(rec)
         # pad batch to a bucket for stable jit shapes
         Bb = 8
         while Bb < B:
@@ -2166,7 +2190,7 @@ class BundleAdjustmentPipeline:
             rho = np.where(xc[:, 2] > 1e-6, rho, 1e4)
             return float(np.sum(np.where(V[b], rho, 0.0)))
 
-        def chi2_inlier_count(extr, b):
+        def chi2_inlier_count(extr, b, mask=None):
             """chi2 < 5.991 inliers of record b's constraints at `extr` —
             the same criterion motion_only_ba prunes with."""
             R = np_se3.aa_to_R(extr[:3])
@@ -2177,7 +2201,8 @@ class BundleAdjustmentPipeline:
             v = self.K4[1] * xc[:, 1] / zs + self.K4[3]
             chi2 = ((u - U[b, :, 0]) ** 2 + (v - U[b, :, 1]) ** 2) \
                 / np.maximum(S[b], 1e-12)
-            return int(np.sum(V[b] & (chi2 < 5.991) & (z > 1e-6)))
+            sel = V[b] if mask is None else (V[b] & mask)
+            return int(np.sum(sel & (chi2 < 5.991) & (z > 1e-6)))
 
         # displacement guard: a legitimate post-BA correction moves a frame
         # by at most a few frame-steps of motion; larger jumps mean the
@@ -2187,7 +2212,7 @@ class BundleAdjustmentPipeline:
         # (reference analogue: the PnP translation sanity guard,
         # ba_project/src/ba/SfMHelper.cpp:76-80).
         centers = np.asarray([
-            np_se3.rt6_to_mat44(np_se3.rt6_inverse(r.extr))[:3, 3]
+            np_se3.rt6_to_mat44(np_se3.rt6_inverse(self._record_extr(r)))[:3, 3]
             for r in self.trajectory
         ])
         steps = np.linalg.norm(np.diff(centers, axis=0), axis=1)
@@ -2217,7 +2242,8 @@ class BundleAdjustmentPipeline:
             n_inl = int(inl[b].sum())
             if n_inl < max(self.cfg.min_track_points, 0.5 * n_constr):
                 continue
-            c_old = np_se3.rt6_to_mat44(np_se3.rt6_inverse(rec.extr))[:3, 3]
+            extr_cur = self._record_extr(rec)
+            c_old = np_se3.rt6_to_mat44(np_se3.rt6_inverse(extr_cur))[:3, 3]
             c_new = np_se3.rt6_to_mat44(np_se3.rt6_inverse(rt[b]))[:3, 3]
             strong = (n_inl >= 3 * self.cfg.min_track_points
                       and n_inl >= 0.8 * n_constr)
@@ -2230,35 +2256,135 @@ class BundleAdjustmentPipeline:
             # step drift corrections the override exists for
             if disp > guard and not (strong and disp <= 10.0 * guard):
                 continue
-            # the re-solve must EXPLAIN MORE than the tracked pose does:
-            # lower Huber cost alone is trivially satisfied (the re-solve
-            # minimizes exactly that on a set the tracked pose never saw),
-            # and round-5 diagnosis showed cost-only acceptance degrading
-            # already-good online trajectories by 3-8x — ~60% of stored
-            # associations die before finalize (culling), and re-solving
-            # the surviving subset drags a good pose toward its biases.
-            # Requiring a strictly higher chi2-inlier count makes the
-            # refinement a no-op where tracking was already consistent
-            # while still rescuing genuinely drifted tails (a drifted pose
-            # scores few inliers on its own constraints).
-            n_inl_old = chi2_inlier_count(rec.extr, b)
-            if n_inl <= n_inl_old:
+            # refine ONLY demonstrably broken poses, judged on the ORIGINAL
+            # (tracking-time) constraints.  Three round-5 diagnoses shaped
+            # this: (a) lower Huber cost is trivially satisfied by the
+            # re-solve; (b) full-set inlier counts are rigged — the guided
+            # re-association matched new landmarks within a pixel window AT
+            # the stored pose, so the re-solve wins by centering its own
+            # biased additions; (c) even original-set inlier IMPROVEMENT
+            # cannot arbitrate when the stored pose already explains its
+            # constraints — on forward trajectories drift is chi2-
+            # UNOBSERVABLE (drifted tails score 0.94-0.99 inlier fraction)
+            # and the re-solve then has no information to do better, only
+            # map bias to import (measured: it degraded good online
+            # trajectories 2-8x).  A pose is refinable when its original-
+            # constraint inlier fraction is genuinely broken (< 0.75 —
+            # BA moved the landmarks out from under a drifted pose, which
+            # is exactly the observable-drift rescue case) AND the re-solve
+            # strictly improves that count.
+            n_live_orig = int(np.sum(V[b] & ORIG[b]))
+            if n_live_orig < self.cfg.min_track_points:
                 continue
-            if huber_cost(rt[b], b) < huber_cost(rec.extr, b):
+            n_old_orig = chi2_inlier_count(extr_cur, b, mask=ORIG[b])
+            if n_old_orig >= 0.75 * n_live_orig:
+                continue  # pose already explains its evidence: nothing to fix
+            n_new_orig = chi2_inlier_count(rt[b], b, mask=ORIG[b])
+            if n_new_orig <= n_old_orig:
+                continue
+            if huber_cost(rt[b], b) < huber_cost(extr_cur, b):
                 rec.extr = rt[b]
+                # keep the keyframe anchor coherent with the refined pose
+                if (rec.ref_kf is not None
+                        and self.map.kf_active[rec.ref_kf]):
+                    rec.rel = np_se3.rt6_compose(
+                        rt[b],
+                        np_se3.rt6_inverse(self.map.kf_pose[rec.ref_kf]))
+                else:
+                    rec.rel = None
 
     # ------------------------------------------------------------------
     # outputs
     # ------------------------------------------------------------------
 
-    def trajectory_cam_to_world(self):
-        """(timestamps, cam->world 4x4) for every tracked frame; keyframe
-        poses are refreshed from the (BA-refined) map."""
+    def _record_extr(self, rec):
+        """The record's CURRENT best pose: keyframes read the (BA-refined)
+        map; tracked frames ride their reference keyframe via the stored
+        relative transform (ORB-SLAM trajectory-output semantics) — BA
+        corrections to keyframes propagate to the frames tracked against
+        them structurally, with no re-solve needed."""
+        if rec.is_keyframe and self.map.kf_active[rec.slot]:
+            return self.map.kf_pose[rec.slot]
+        if (rec.rel is not None and rec.ref_kf is not None
+                and self.map.kf_active[rec.ref_kf]):
+            return np_se3.rt6_compose(rec.rel,
+                                      self.map.kf_pose[rec.ref_kf])
+        return rec.extr
+
+    def trajectory_cam_to_world(self, smooth=True):
+        """(timestamps, cam->world 4x4) for every tracked frame.
+
+        smooth=False returns the CAUSAL trajectory (tracked frames at their
+        raw tracking-time poses, keyframes refreshed from the map) — the
+        `ate_online` metric's definition; the default applies the
+        keyframe-anchored segment interpolation below.
+
+        Keyframe poses are refreshed from the (BA-refined) map.  Tracked
+        frames ride their keyframes with SEGMENT-INTERPOLATED world
+        corrections: the correction observed at the previous keyframe (via
+        the stored relative transform) and the one observed at the NEXT
+        keyframe (its BA-refined pose vs its tracking-time pose — exactly
+        the drift accumulated over the segment) are blended linearly in
+        time.  This distributes inter-keyframe drift corrections across
+        the segment instead of leaving each segment's tail uncorrected;
+        corrections are small, so axis-angle+translation interpolation is
+        adequate.  (ORB-SLAM outputs keyframe-relative poses; the
+        interpolation is the natural refinement of that.)
+        """
+        n = len(self.trajectory)
+        act = [r.is_keyframe and self.map.kf_active[r.slot]
+               for r in self.trajectory]
+        if not smooth:
+            ts = np.asarray([r.timestamp for r in self.trajectory])
+            mats = np.asarray([
+                np_se3.rt6_to_mat44(np_se3.rt6_inverse(
+                    self.map.kf_pose[r.slot] if act[i] else r.extr))
+                for i, r in enumerate(self.trajectory)
+            ])
+            return ts, mats
+        next_kf = [None] * n
+        nk = None
+        for i in range(n - 1, -1, -1):
+            if act[i]:
+                nk = i
+            next_kf[i] = nk
+        prev_kf = [None] * n
+        pk = None
+        for i in range(n):
+            if act[i]:
+                pk = i
+            prev_kf[i] = pk
         ts, mats = [], []
-        for rec in self.trajectory:
-            extr = rec.extr
-            if rec.is_keyframe and self.map.kf_active[rec.slot]:
+        for i, rec in enumerate(self.trajectory):
+            if act[i]:
                 extr = self.map.kf_pose[rec.slot]
+            elif (rec.rel is not None and rec.ref_kf is not None
+                    and self.map.kf_active[rec.ref_kf]):
+                # correction at the previous keyframe: W_A = kfA_track^-1
+                # o kfA_now (kfA's pose when this record was made is
+                # recovered from the stored rel)
+                kfA_r = np_se3.rt6_compose(np_se3.rt6_inverse(rec.rel),
+                                           rec.extr)
+                w_a = np_se3.rt6_compose(
+                    np_se3.rt6_inverse(kfA_r),
+                    self.map.kf_pose[rec.ref_kf])
+                w = w_a
+                j = next_kf[i]
+                p = prev_kf[i]
+                if j is not None and p is not None:
+                    nrec = self.trajectory[j]
+                    w_b = np_se3.rt6_compose(
+                        np_se3.rt6_inverse(nrec.extr),
+                        self.map.kf_pose[nrec.slot])
+                    span = nrec.timestamp - self.trajectory[p].timestamp
+                    if span > 1e-9:
+                        s = np.clip(
+                            (rec.timestamp - self.trajectory[p].timestamp)
+                            / span, 0.0, 1.0)
+                        w = (1.0 - s) * w_a + s * w_b
+                extr = np_se3.rt6_compose(rec.extr, w)
+            else:
+                extr = rec.extr
             ts.append(rec.timestamp)
             mats.append(np_se3.rt6_to_mat44(np_se3.rt6_inverse(extr)))
         return np.asarray(ts), np.asarray(mats)

@@ -136,11 +136,12 @@ def run_protocol(frames, K4, cfg, width, height, warmup=10, pipe=None):
         t_start = time.perf_counter()
         timings = []
         statuses = pipe.process_frames(ds, timings=timings)
-        # online trajectory: poses as tracked (keyframes at their during-run
-        # BA state), BEFORE the final global BA + guided refinement — the
-        # per-frame quality the reference's motion-only BA delivers live
+        # online trajectory: CAUSAL poses as tracked (keyframes at their
+        # during-run BA state), BEFORE the final global BA and without the
+        # (forward-looking) segment interpolation — the per-frame quality
+        # the reference's motion-only BA delivers live
         # (SfMHelper.cpp:106-117); round-4 VERDICT #2
-        ts_online, mats_online = pipe.trajectory_cam_to_world()
+        ts_online, mats_online = pipe.trajectory_cam_to_world(smooth=False)
         pipe.finalize()
         wall = time.perf_counter() - t_start
     # measured AFTER the run so warm-up background compiles can't contend
@@ -455,7 +456,7 @@ def config6_long_sequence(seed=16, n_frames=500):
         statuses += pipe.process_frames(ds[half:], timings=timings)
         compiles_second_half = cc.count - compiles_first_half
         kfs_before_final = pipe.stats["keyframes"]
-        ts_online, mats_online = pipe.trajectory_cam_to_world()
+        ts_online, mats_online = pipe.trajectory_cam_to_world(smooth=False)
         pipe.finalize()
         wall = time.perf_counter() - t_start
     relay_s = measure_relay_floor()  # after the run: no warm-up contention
