@@ -66,8 +66,12 @@ class PipelineConfig:
     # drifted to 0.2-0.3 m ATE), so keyframe need is additionally signaled
     # by inlier-count decay vs the last keyframe (ORB-SLAM's
     # NeedNewKeyFrame reference-matches criterion) and a max interval
-    kf_ref_decay: float = 0.8
-    kf_max_interval: int = 20
+    # defaults from the round-5 TPU A/B on the handheld regime: 0.85/15
+    # gives 10 keyframes per 120 frames vs 8 at 0.8/20, cutting ONLINE ATE
+    # 0.067 -> 0.016 (denser anchors = fresher local map + shorter
+    # interpolation segments) and wall time 58 -> 32 s
+    kf_ref_decay: float = 0.85
+    kf_max_interval: int = 15
     max_track_obs: int = 512  # padded 2D-3D capacity for motion-only BA
     fused_tracking: bool = True  # ba/pnp: run detect+match+associate+motion-
     #   only BA of a tracked frame as ONE device dispatch (latency win on

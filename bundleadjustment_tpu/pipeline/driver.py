@@ -2358,33 +2358,45 @@ class BundleAdjustmentPipeline:
         for i, rec in enumerate(self.trajectory):
             if act[i]:
                 extr = self.map.kf_pose[rec.slot]
-            elif (rec.rel is not None and rec.ref_kf is not None
-                    and self.map.kf_active[rec.ref_kf]):
-                # correction at the previous keyframe: W_A = kfA_track^-1
-                # o kfA_now (kfA's pose when this record was made is
-                # recovered from the stored rel)
-                kfA_r = np_se3.rt6_compose(np_se3.rt6_inverse(rec.rel),
-                                           rec.extr)
-                w_a = np_se3.rt6_compose(
-                    np_se3.rt6_inverse(kfA_r),
-                    self.map.kf_pose[rec.ref_kf])
-                w = w_a
-                j = next_kf[i]
-                p = prev_kf[i]
-                if j is not None and p is not None:
-                    nrec = self.trajectory[j]
-                    w_b = np_se3.rt6_compose(
-                        np_se3.rt6_inverse(nrec.extr),
-                        self.map.kf_pose[nrec.slot])
-                    span = nrec.timestamp - self.trajectory[p].timestamp
-                    if span > 1e-9:
-                        s = np.clip(
-                            (rec.timestamp - self.trajectory[p].timestamp)
-                            / span, 0.0, 1.0)
-                        w = (1.0 - s) * w_a + s * w_b
-                extr = np_se3.rt6_compose(rec.extr, w)
             else:
-                extr = rec.extr
+                # correction at the previous anchor: prefer the stored rel
+                # (exact — captures mid-run BA updates of the reference
+                # keyframe up to this record's moment); when that keyframe
+                # was CULLED, fall back to the surviving previous ACTIVE
+                # keyframe record's creation-baseline correction (culling
+                # must not strip tracked frames of their drift correction)
+                w_a = None
+                if (rec.rel is not None and rec.ref_kf is not None
+                        and self.map.kf_active[rec.ref_kf]):
+                    kfA_r = np_se3.rt6_compose(
+                        np_se3.rt6_inverse(rec.rel), rec.extr)
+                    w_a = np_se3.rt6_compose(
+                        np_se3.rt6_inverse(kfA_r),
+                        self.map.kf_pose[rec.ref_kf])
+                elif prev_kf[i] is not None:
+                    prec = self.trajectory[prev_kf[i]]
+                    w_a = np_se3.rt6_compose(
+                        np_se3.rt6_inverse(prec.extr),
+                        self.map.kf_pose[prec.slot])
+                if w_a is None:
+                    extr = rec.extr
+                else:
+                    w = w_a
+                    j = next_kf[i]
+                    p = prev_kf[i]
+                    if j is not None and p is not None:
+                        nrec = self.trajectory[j]
+                        w_b = np_se3.rt6_compose(
+                            np_se3.rt6_inverse(nrec.extr),
+                            self.map.kf_pose[nrec.slot])
+                        span = nrec.timestamp - self.trajectory[p].timestamp
+                        if span > 1e-9:
+                            s = np.clip(
+                                (rec.timestamp
+                                 - self.trajectory[p].timestamp) / span,
+                                0.0, 1.0)
+                            w = (1.0 - s) * w_a + s * w_b
+                    extr = np_se3.rt6_compose(rec.extr, w)
             ts.append(rec.timestamp)
             mats.append(np_se3.rt6_to_mat44(np_se3.rt6_inverse(extr)))
         return np.asarray(ts), np.asarray(mats)
